@@ -1,0 +1,23 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual CPU mesh (SURVEY.md §4:
+`xla_force_host_platform_device_count`), so CI needs no TPU. Must run before
+jax initializes its backends, hence env setup at conftest import time.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402  (after env setup)
+
+# Numeric tests compare against float64-ish references; keep MXU-emulating
+# bf16 matmul defaults out of the unit-test path.
+jax.config.update("jax_default_matmul_precision", "highest")
