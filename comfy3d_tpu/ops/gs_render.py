@@ -1,0 +1,335 @@
+"""Differentiable 3D Gaussian Splatting renderer (flagship kernel).
+
+TPU-native replacement for the CUDA `diff_gaussian_rasterization` package the
+reference invokes at `MVs_Algorithms/GaussianSplatting/main_3DGS_renderer.py:
+830-948` (also TriplaneGaussian `models/renderer.py`, TRELLIS
+`trellis/renderers/gaussian_render.py`, and the LGM GS→mesh converter).
+Outputs match that fork's extended contract: image, alpha, depth, radii —
+plus the viewspace-gradient hook densification needs (`main_3DGS.py:211-213`).
+
+Architecture (same tile structure as the CUDA rasterizer, but XLA-shaped):
+  1. `project_gaussians` — 3D→2D: EWA splatting Jacobian, 2D covariance +
+     0.3px dilation, conic, 3σ radius, frustum cull. Plain differentiable
+     jnp; XLA fuses it into one elementwise pass (VPU).
+  2. `ops.binning.bin_primitives` — (tile, depth)-sorted padded lists; the
+     one O(P log P) sort replaces the CUDA radix sort.
+  3. `tile_composite` — front-to-back alpha compositing per tile with a
+     *custom VJP*: forward stores only (image, alpha, final transmittance);
+     backward re-walks the sorted lists back-to-front reconstructing the
+     transmittance by division (the classic 3DGS backward), so memory is
+     O(pixels), not O(pixels × gaussians). Compositing within each chunk is
+     vectorized with exclusive cumprods so the sequential scan advances
+     `chunk` gaussians per step — this is the part the Pallas kernel
+     (`ops/pallas/gs_tile.py`) replaces with a fused VMEM-resident loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.gaussian import GaussianSplat, quat_to_rotmat
+from . import binning
+from .binning import TILE
+
+
+# ------------------------------------------------------------------ #
+# 1. Projection (differentiable, pure jnp)
+# ------------------------------------------------------------------ #
+def project_gaussians(xyz, scale, rot_quat, w2c, intrinsics, width, height,
+                      near: float = 0.01):
+    """EWA projection of 3D gaussians to screen.
+
+    Returns (means2d [N,2] px, depths [N], conics [N,3] (a,b,c) of the
+    inverse 2D covariance, radii [N] px, in_frustum [N] bool).
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    R = w2c[:3, :3]
+    t = xyz @ R.T + w2c[:3, 3]
+    depth = -t[:, 2]                        # camera looks down -Z
+    in_front = depth > near
+    d = jnp.maximum(depth, near)
+
+    # frustum-clamped view-plane coords (3DGS limits the EWA Jacobian blowup)
+    lim_x = 1.3 * (0.5 * width / fx)
+    lim_y = 1.3 * (0.5 * height / fy)
+    tx = jnp.clip(t[:, 0] / d, -lim_x, lim_x) * d
+    ty = jnp.clip(t[:, 1] / d, -lim_y, lim_y) * d
+
+    u = fx * t[:, 0] / d + cx
+    v = -fy * t[:, 1] / d + cy              # image rows grow downward
+    means2d = jnp.stack([u, v], -1)
+
+    # J: d(u,v)/d(t) — 2x3 per gaussian
+    z = jnp.zeros_like(d)
+    J = jnp.stack([
+        jnp.stack([fx / d, z, fx * tx / (d * d)], -1),
+        jnp.stack([z, -fy / d, -fy * ty / (d * d)], -1),
+    ], -2)                                   # [N, 2, 3]
+
+    Rot = quat_to_rotmat(rot_quat)           # [N, 3, 3]
+    M = Rot * scale[:, None, :]              # R·S
+    cov3d = jnp.einsum("nij,nkj->nik", M, M)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)
+    a = cov2d[:, 0, 0] + 0.3
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + 0.3
+
+    det = a * c - b * b
+    det_safe = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    visible = in_front & (det > 1e-12) & (radii > 0)
+    return means2d, depth, conic, radii, visible
+
+
+# ------------------------------------------------------------------ #
+# 3. Tile compositing with custom VJP
+# ------------------------------------------------------------------ #
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+
+
+def _chunk_alphas(centers, means2d, conics, opacities, valid):
+    """α for one chunk: centers [T,P,2]; per-chunk gathers [T,Mc,...].
+    Returns α [T,P,Mc]."""
+    dx = centers[:, :, None, 0] - means2d[:, None, :, 0]
+    dy = centers[:, :, None, 1] - means2d[:, None, :, 1]
+    power = -0.5 * (conics[:, None, :, 0] * dx * dx
+                    + conics[:, None, :, 2] * dy * dy) \
+        - conics[:, None, :, 1] * dx * dy
+    alpha = opacities[:, None, :] * jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.where(power > 0.0, 0.0, alpha)  # outside the exp dome
+    alpha = jnp.clip(alpha, 0.0, ALPHA_MAX)
+    alpha = jnp.where(valid[:, None, :] & (alpha >= ALPHA_MIN), alpha, 0.0)
+    return alpha
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def tile_composite(means2d, conics, opacities, colors, prim_idx, prim_valid,
+                   grid_h, grid_w, chunk):
+    out, _ = _composite_fwd_impl(means2d, conics, opacities, colors,
+                                 prim_idx, prim_valid, grid_h, grid_w, chunk)
+    return out
+
+
+def _composite_fwd_impl(means2d, conics, opacities, colors, prim_idx,
+                        prim_valid, grid_h, grid_w, chunk):
+    ntiles = grid_h * grid_w
+    npix = TILE * TILE
+    nch = colors.shape[-1]
+    m = prim_idx.shape[1]
+    nsteps = m // chunk
+    centers = binning.tile_pixel_centers(grid_h, grid_w)
+
+    pi = prim_idx.reshape(ntiles, nsteps, chunk).transpose(1, 0, 2)
+    pv = prim_valid.reshape(ntiles, nsteps, chunk).transpose(1, 0, 2)
+
+    def step(carry, inp):
+        acc, T = carry                         # [T,P,C], [T,P]
+        idx, val = inp                         # [T,chunk]
+        alpha = _chunk_alphas(centers, means2d[idx], conics[idx],
+                              opacities[idx], val)
+        one_m = 1.0 - alpha
+        cp = jnp.cumprod(one_m, axis=-1)
+        cp_excl = jnp.concatenate(
+            [jnp.ones_like(cp[..., :1]), cp[..., :-1]], -1)
+        w = alpha * cp_excl                    # [T,P,Mc]
+        contrib = jnp.einsum("tpm,tmc->tpc", w, colors[idx])
+        acc = acc + T[..., None] * contrib
+        T = T * cp[..., -1]
+        return (acc, T), None
+
+    init = (jnp.zeros((ntiles, npix, nch), jnp.float32),
+            jnp.ones((ntiles, npix), jnp.float32))
+    (acc, T_final), _ = jax.lax.scan(step, init, (pi, pv))
+    return (acc, T_final), T_final
+
+
+def _composite_fwd(means2d, conics, opacities, colors, prim_idx, prim_valid,
+                   grid_h, grid_w, chunk):
+    out, T_final = _composite_fwd_impl(means2d, conics, opacities, colors,
+                                       prim_idx, prim_valid, grid_h, grid_w,
+                                       chunk)
+    res = (means2d, conics, opacities, colors, prim_idx, prim_valid, T_final)
+    return out, res
+
+
+def _composite_bwd(grid_h, grid_w, chunk, res, cotangents):
+    """Back-to-front re-walk; O(pixels) residual memory.
+
+    Gradients: C = Σ_i c_i α_i T_i with T_i = Π_{j<i}(1-α_j);
+      ∂C/∂c_i = α_i T_i
+      ∂C/∂α_i = c_i T_i − S_i/(1−α_i),  S_i = Σ_{j>i} c_j α_j T_j
+      ∂(1−T_fin)/∂α_i = T_fin/(1−α_i)
+    then α_i = o_i·exp(power) chains into (opacity, conic, mean2d).
+    """
+    means2d, conics, opacities, colors, prim_idx, prim_valid, T_final = res
+    g_acc, g_T = cotangents
+    ntiles = grid_h * grid_w
+    m = prim_idx.shape[1]
+    nsteps = m // chunk
+    centers = binning.tile_pixel_centers(grid_h, grid_w)
+    nch = colors.shape[-1]
+
+    pi = prim_idx.reshape(ntiles, nsteps, chunk).transpose(1, 0, 2)
+    pv = prim_valid.reshape(ntiles, nsteps, chunk).transpose(1, 0, 2)
+    # reverse chunk order AND within-chunk order for back-to-front
+    pi_rev = pi[::-1, :, ::-1]
+    pv_rev = pv[::-1, :, ::-1]
+
+    gm = jnp.zeros_like(means2d)
+    gc = jnp.zeros_like(conics)
+    go = jnp.zeros_like(opacities)
+    gcol = jnp.zeros_like(colors)
+
+    def step(carry, inp):
+        T_cur, S, gm, gc, go, gcol = carry
+        idx, val = inp
+        mu = means2d[idx]
+        cn = conics[idx]
+        op = opacities[idx]
+        col = colors[idx]                     # [T,Mc,C]
+
+        dx = centers[:, :, None, 0] - mu[:, None, :, 0]
+        dy = centers[:, :, None, 1] - mu[:, None, :, 1]
+        power = -0.5 * (cn[:, None, :, 0] * dx * dx
+                        + cn[:, None, :, 2] * dy * dy) \
+            - cn[:, None, :, 1] * dx * dy
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = op[:, None, :] * G
+        live = (power <= 0.0) & val[:, None, :] & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(live, jnp.clip(alpha, 0.0, ALPHA_MAX), 0.0)
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+
+        # reconstruct T_i for every slot in this (reversed) chunk:
+        # T before gaussian i = T_after / Π_{j>=i within chunk}(1-α_j)
+        inv_cp = jnp.cumprod(1.0 / one_m, axis=-1)      # [T,P,Mc]
+        T_i = jnp.minimum(T_cur[..., None] * inv_cp, 1.0)  # clamp drift
+        # S_i: color accumulated after i (walking reversed order)
+        wc = (alpha * T_i)[..., None] * col[:, None]     # [T,P,Mc,C]
+        S_cum = jnp.cumsum(wc, axis=2)
+        S_before = S_cum - wc                            # Σ over visited j>i
+        S_i = S[:, :, None, :] + S_before
+
+        # per-slot grads
+        g_pix = g_acc[:, :, None, :]                     # [T,P,1,C]
+        d_color = (alpha * T_i)[..., None] * g_pix       # [T,P,Mc,C]
+        d_alpha_from_c = ((col[:, None] * T_i[..., None]
+                           - S_i / one_m[..., None]) * g_pix).sum(-1)
+        d_alpha_from_T = -g_T[:, :, None] * (
+            T_final[:, :, None] / one_m)
+        # clip saturation: no gradient where α was clamped at ALPHA_MAX
+        unsaturated = op[:, None, :] * G < ALPHA_MAX
+        d_alpha = jnp.where(live & unsaturated,
+                            d_alpha_from_c + d_alpha_from_T, 0.0)
+
+        d_G = d_alpha * op[:, None, :]
+        d_op = (d_alpha * G * live).sum(1)               # [T,Mc]
+        d_power = d_G * G * (power <= 0.0)
+        d_cn_a = (-0.5 * dx * dx * d_power).sum(1)
+        d_cn_b = (-dx * dy * d_power).sum(1)
+        d_cn_c = (-0.5 * dy * dy * d_power).sum(1)
+        d_dx = d_power * (-(cn[:, None, :, 0] * dx + cn[:, None, :, 1] * dy))
+        d_dy = d_power * (-(cn[:, None, :, 2] * dy + cn[:, None, :, 1] * dx))
+        d_mu = jnp.stack([-(d_dx).sum(1), -(d_dy).sum(1)], -1)  # [T,Mc,2]
+
+        d_color = (d_color * live[..., None]).sum(1)     # [T,Mc,C]
+        flat = idx.reshape(-1)
+        gm = gm.at[flat].add(d_mu.reshape(-1, 2))
+        gc = gc.at[flat].add(
+            jnp.stack([d_cn_a, d_cn_b, d_cn_c], -1).reshape(-1, 3))
+        go = go.at[flat].add(d_op.reshape(-1))
+        gcol = gcol.at[flat].add(d_color.reshape(-1, nch))
+
+        # advance carries to "before this chunk"
+        S = S + S_cum[:, :, -1, :]
+        T_cur = T_i[..., -1]
+        return (T_cur, S, gm, gc, go, gcol), None
+
+    init = (T_final, jnp.zeros(T_final.shape + (nch,), jnp.float32),
+            gm, gc, go, gcol)
+    carry, _ = jax.lax.scan(step, init, (pi_rev, pv_rev))
+    gm, gc, go, gcol = carry[2], carry[3], carry[4], carry[5]
+    return gm, gc, go, gcol, None, None
+
+
+tile_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+# ------------------------------------------------------------------ #
+# Public renderer
+# ------------------------------------------------------------------ #
+@partial(jax.jit, static_argnames=("width", "height", "max_per_tile",
+                                   "pair_capacity", "chunk"))
+def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
+                  w2c, intrinsics, width: int, height: int,
+                  background=None, max_per_tile: int = 512,
+                  pair_capacity: int | None = None, chunk: int = 16):
+    """Render raw gaussian arrays for one camera. Fully differentiable.
+
+    colors: [N, C] per-gaussian channel vector (precomputed — SH eval or
+    raw RGB). Returns dict(image [H,W,C], alpha, depth, radii [N],
+    means2d [N,2] — hook for densification stats, overflow flag).
+    """
+    n = xyz.shape[0]
+    if pair_capacity is None:
+        pair_capacity = max(8 * n, 2048)
+    grid_h, grid_w = binning.num_tiles(height, width)
+
+    means2d, depth, conic, radii, visible = project_gaussians(
+        xyz, scale, rot_quat, w2c, intrinsics, width, height)
+    active = visible & alive & (opacity > ALPHA_MIN)
+
+    bb_min = means2d - radii[:, None]
+    bb_max = means2d + radii[:, None]
+    bins = binning.bin_primitives(
+        jax.lax.stop_gradient(bb_min), jax.lax.stop_gradient(bb_max),
+        jax.lax.stop_gradient(depth), active,
+        grid_h, grid_w, pair_capacity=pair_capacity,
+        max_per_tile=max_per_tile)
+
+    # channels: [rgb..., depth] composited together
+    chans = jnp.concatenate([colors, depth[:, None]], -1)
+    acc, T_final = tile_composite(means2d, conic, opacity, chans,
+                                  bins.prim_idx, bins.valid,
+                                  grid_h, grid_w, chunk)
+
+    to_img = lambda a: binning.tiles_to_image(a, grid_h, grid_w,
+                                              height, width)
+    img = to_img(acc)
+    alpha = 1.0 - to_img(T_final)
+    rgb = img[..., :-1]
+    depth_img = img[..., -1]
+    if background is not None:
+        bg = jnp.asarray(background, rgb.dtype)
+        rgb = rgb + (1.0 - alpha[..., None]) * bg
+    return {"image": rgb, "alpha": alpha, "depth": depth_img,
+            "radii": radii * active, "means2d": means2d,
+            "overflow": bins.overflow}
+
+
+def render(splat: GaussianSplat, camera: Camera, background=(1.0, 1.0, 1.0),
+           **kw):
+    """Render a GaussianSplat for one or a batch of cameras (vmapped —
+    the view axis shards under a device mesh)."""
+    w2c = camera.w2c
+    intr = camera.intrinsics
+
+    def one(w2c_i, intr_i, campos_i):
+        colors = splat.colors_toward(campos_i)
+        return render_arrays(splat.xyz, splat.scale, splat.rotation,
+                             splat.opacity, colors, splat.alive,
+                             w2c_i, intr_i, camera.width, camera.height,
+                             background=jnp.asarray(background), **kw)
+
+    if camera.batch_shape:
+        return jax.vmap(one)(w2c, intr, camera.campos)
+    return one(w2c, intr, camera.campos)

@@ -1,0 +1,202 @@
+"""3DGS renderer tests: forward parity vs a naive compositor, custom-VJP
+gradient parity vs autodiff through the naive path, and API behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comfy3d_tpu.core.camera import Camera
+from comfy3d_tpu.core.gaussian import GaussianSplat
+from comfy3d_tpu.ops import gs_render as G
+
+
+def make_scene(key, n=24, spread=0.6):
+    ks = jax.random.split(key, 5)
+    xyz = jax.random.normal(ks[0], (n, 3)) * spread
+    scale = jnp.exp(jax.random.normal(ks[1], (n, 3)) * 0.3) * 0.08
+    rot = jax.random.normal(ks[2], (n, 4))
+    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    opacity = jax.nn.sigmoid(jax.random.normal(ks[3], (n,)) + 1.0)
+    colors = jax.random.uniform(ks[4], (n, 3))
+    alive = jnp.ones((n,), bool)
+    return xyz, scale, rot, opacity, colors, alive
+
+
+def naive_render(xyz, scale, rot, opacity, colors, w2c, intr, W, H):
+    """Global-sort per-pixel compositor: the semantic reference."""
+    means2d, depth, conic, radii, visible = G.project_gaussians(
+        xyz, scale, rot, w2c, intr, W, H)
+    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+
+    def body(carry, i):
+        acc, T = carry
+        g = order[i]
+        dx = gx - means2d[g, 0]
+        dy = gy - means2d[g, 1]
+        power = (-0.5 * (conic[g, 0] * dx * dx + conic[g, 2] * dy * dy)
+                 - conic[g, 1] * dx * dy)
+        alpha = opacity[g] * jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.clip(alpha, 0.0, G.ALPHA_MAX)
+        alpha = jnp.where(visible[g] & (alpha >= G.ALPHA_MIN), alpha, 0.0)
+        # naive path has no tile culling: gaussians contribute at any
+        # radius — the binned path only inside bbox tiles. Keep scenes
+        # small so the 3σ bbox covers everything that matters.
+        chan = jnp.concatenate([colors[g], depth[g][None]])
+        acc = acc + (T * alpha)[..., None] * chan
+        T = T * (1.0 - alpha)
+        return (acc, T), None
+
+    init = (jnp.zeros((H, W, 4)), jnp.ones((H, W)))
+    (acc, T), _ = jax.lax.scan(body, init, jnp.arange(xyz.shape[0]))
+    return acc[..., :3], 1.0 - T, acc[..., 3]
+
+
+class TestProjection:
+    def test_center_gaussian_projects_to_image_center(self):
+        cam = Camera.from_orbit(0.0, 0.0, 3.0, width=64, height=64)
+        xyz = jnp.zeros((1, 3))
+        scale = jnp.full((1, 3), 0.1)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        m2d, depth, conic, radii, vis = G.project_gaussians(
+            xyz, scale, rot, cam.w2c, cam.intrinsics, 64, 64)
+        np.testing.assert_allclose(np.asarray(m2d[0]), [32, 32], atol=1e-3)
+        np.testing.assert_allclose(float(depth[0]), 3.0, atol=1e-5)
+        assert bool(vis[0]) and float(radii[0]) > 0
+
+    def test_behind_camera_culled(self):
+        cam = Camera.from_orbit(0.0, 0.0, 2.0, width=32, height=32)
+        xyz = jnp.array([[0.0, 0.0, 5.0]])     # behind the camera (z>2)
+        scale = jnp.full((1, 3), 0.1)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        *_, vis = G.project_gaussians(xyz, scale, rot, cam.w2c,
+                                      cam.intrinsics, 32, 32)
+        assert not bool(vis[0])
+
+    def test_isotropic_conic(self):
+        cam = Camera.from_orbit(0.0, 0.0, 3.0, width=64, height=64)
+        s = 0.1
+        m2d, d, conic, radii, vis = G.project_gaussians(
+            jnp.zeros((1, 3)), jnp.full((1, 3), s),
+            jnp.array([[1.0, 0, 0, 0]]), cam.w2c, cam.intrinsics, 64, 64)
+        # isotropic gaussian → conic a == c, b ≈ 0
+        np.testing.assert_allclose(float(conic[0, 0]), float(conic[0, 2]),
+                                   rtol=1e-3)
+        assert abs(float(conic[0, 1])) < 1e-6
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_naive(self, seed):
+        W = H = 32
+        cam = Camera.from_orbit(15.0, 30.0, 3.0, width=W, height=H)
+        xyz, scale, rot, opacity, colors, alive = make_scene(
+            jax.random.PRNGKey(seed))
+        out = G.render_arrays(xyz, scale, rot, opacity, colors, alive,
+                              cam.w2c, cam.intrinsics, W, H,
+                              max_per_tile=64, chunk=8)
+        ref_img, ref_alpha, ref_depth = naive_render(
+            xyz, scale, rot, opacity, colors, cam.w2c, cam.intrinsics, W, H)
+        np.testing.assert_allclose(np.asarray(out["image"]),
+                                   np.asarray(ref_img), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out["alpha"]),
+                                   np.asarray(ref_alpha), atol=2e-3)
+        assert not bool(out["overflow"])
+
+
+class TestGradients:
+    def test_custom_vjp_matches_naive_autodiff(self):
+        W = H = 24
+        cam = Camera.from_orbit(0.0, 0.0, 3.0, width=W, height=H)
+        xyz, scale, rot, opacity, colors, alive = make_scene(
+            jax.random.PRNGKey(2), n=12, spread=0.4)
+        target = jax.random.uniform(jax.random.PRNGKey(9), (H, W, 3))
+
+        def loss_tiled(args):
+            xyz, scale, rot, opacity, colors = args
+            out = G.render_arrays(xyz, scale, rot, opacity, colors, alive,
+                                  cam.w2c, cam.intrinsics, W, H,
+                                  max_per_tile=32, chunk=8)
+            return jnp.mean((out["image"] - target) ** 2) \
+                + 0.1 * jnp.mean(out["alpha"])
+
+        def loss_naive(args):
+            xyz, scale, rot, opacity, colors = args
+            img, alpha, _ = naive_render(xyz, scale, rot, opacity, colors,
+                                         cam.w2c, cam.intrinsics, W, H)
+            return jnp.mean((img - target) ** 2) + 0.1 * jnp.mean(alpha)
+
+        args = (xyz, scale, rot, opacity, colors)
+        g_tiled = jax.grad(loss_tiled)(args)
+        g_naive = jax.grad(loss_naive)(args)
+        for gt, gn, name in zip(g_tiled, g_naive,
+                                ["xyz", "scale", "rot", "opacity", "colors"]):
+            gt, gn = np.asarray(gt), np.asarray(gn)
+            assert np.isfinite(gt).all(), name
+            denom = max(np.abs(gn).max(), 1e-8)
+            np.testing.assert_allclose(gt / denom, gn / denom, atol=2e-2,
+                                       err_msg=name)
+
+    def test_finite_diff_opacity(self):
+        W = H = 16
+        cam = Camera.from_orbit(0.0, 0.0, 3.0, width=W, height=H)
+        xyz = jnp.array([[0.0, 0.0, 0.0]])
+        scale = jnp.full((1, 3), 0.15)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        colors = jnp.array([[0.8, 0.2, 0.4]])
+        alive = jnp.ones((1,), bool)
+
+        def f(op):
+            out = G.render_arrays(xyz, scale, rot, op, colors, alive,
+                                  cam.w2c, cam.intrinsics, W, H,
+                                  max_per_tile=8, chunk=8)
+            return jnp.sum(out["image"])
+
+        op = jnp.array([0.6])
+        g = float(jax.grad(f)(op)[0])
+        eps = 1e-3
+        fd = (float(f(op + eps)) - float(f(op - eps))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-2)
+
+
+class TestRenderAPI:
+    def test_splat_render_batched_cameras(self):
+        splat = GaussianSplat.random(jax.random.PRNGKey(0), 64, sh_degree=1)
+        cams = Camera.from_orbit(jnp.array([0.0, 30.0]),
+                                 jnp.array([0.0, 120.0]), 2.5,
+                                 width=32, height=32)
+        out = G.render(splat, cams, max_per_tile=64, chunk=8)
+        assert out["image"].shape == (2, 32, 32, 3)
+        assert out["alpha"].shape == (2, 32, 32)
+        a = np.asarray(out["alpha"])
+        assert (a >= -1e-5).all() and (a <= 1 + 1e-5).all()
+
+    def test_background_composited(self):
+        splat = GaussianSplat.random(jax.random.PRNGKey(1), 4)
+        cam = Camera.from_orbit(0.0, 0.0, 10.0, width=16, height=16)
+        out = G.render(splat, cam, background=(1.0, 0.0, 0.0),
+                       max_per_tile=8, chunk=8)
+        img = np.asarray(out["image"])
+        corner = img[0, 0]
+        np.testing.assert_allclose(corner, [1, 0, 0], atol=0.05)
+
+    def test_depth_ordering_front_wins(self):
+        W = H = 16
+        cam = Camera.from_orbit(0.0, 0.0, 3.0, width=W, height=H)
+        xyz = jnp.array([[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]])  # first nearer
+        scale = jnp.full((2, 3), 0.3)
+        rot = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+        opacity = jnp.array([0.95, 0.95])
+        colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        alive = jnp.ones((2,), bool)
+        out = G.render_arrays(xyz, scale, rot, opacity, colors, alive,
+                              cam.w2c, cam.intrinsics, W, H,
+                              max_per_tile=8, chunk=8)
+        center = np.asarray(out["image"][H // 2, W // 2])
+        assert center[0] > center[1]  # red (near) dominates
+        np.testing.assert_allclose(float(out["depth"][H // 2, W // 2])
+                                   / float(out["alpha"][H // 2, W // 2]),
+                                   2.5, atol=0.2)
