@@ -7,7 +7,7 @@ import importlib as _importlib
 
 _SUBMODULES = (
     "binning", "rasterize", "gs_render", "mesh_render", "hashgrid",
-    "raymarch", "marching_cubes", "flexicubes", "ssim", "knn", "texture",
+    "raymarch", "tetra", "ssim", "knn", "texture",
     "sparse", "attention", "pallas",
 )
 

@@ -1,0 +1,262 @@
+"""Iso-surface extraction via marching tetrahedra (+ differentiable variant).
+
+Replaces the reference's CPU PyMCubes marching cubes
+(`mesh_processer/mesh_utils.py:488-519` `marching_cubes_density_to_mesh`,
+TripoSR `models/isosurface.py:5-19`) and — through the differentiable
+variant — the role of diso/DMC (`Hunyuan3D_V2/.../surface_extractors.py:79`)
+and the topology half of FlexiCubes.
+
+Design notes (why tets, not cubes): the classic MC lookup tables are large
+irregular constants; marching tetrahedra needs only a 16-case table that this
+module *derives at import time* from first principles (inside-set enumeration,
+orientation fixed at runtime by a data-driven normal flip against the field
+gradient direction). Each cube splits into 6 tets around the 0-6 diagonal.
+Output is a fixed-capacity triangle soup (XLA static shapes) compacted by a
+global cumsum; host-side `weld` merges duplicate vertices. The differentiable
+variant freezes topology (stop-gradient on the sign pattern) and keeps the
+edge-interpolation weights live — gradients flow into the SDF values and
+vertex positions exactly as in DMTet-style fitting.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cube corners by bit pattern (x, y, z)
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+], np.int32)
+
+# six tets around the 0→6 diagonal: each path 0→a→b→6 over cube edges
+_TETS = np.array([
+    [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+    [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6],
+], np.int32)
+
+# tet edges by local vertex pair
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int32)
+
+
+def _build_case_table():
+    """[16, 2, 3] triangle edge ids (-1 pad) + [16] counts, derived by
+    enumerating the inside set of each sign case. Winding is arbitrary here;
+    runtime flips for outward orientation."""
+    edge_of = {}
+    for e, (a, b) in enumerate(_TET_EDGES):
+        edge_of[(a, b)] = e
+        edge_of[(b, a)] = e
+    table = -np.ones((16, 2, 3), np.int32)
+    counts = np.zeros((16,), np.int32)
+    for case in range(16):
+        inside = [i for i in range(4) if case & (1 << i)]
+        outside = [i for i in range(4) if not case & (1 << i)]
+        if len(inside) in (0, 4):
+            continue
+        if len(inside) == 1 or len(inside) == 3:
+            a = inside[0] if len(inside) == 1 else outside[0]
+            others = [i for i in range(4) if i != a]
+            tri = [edge_of[(a, o)] for o in others]
+            table[case, 0] = tri
+            counts[case] = 1
+        else:  # 2 inside / 2 outside → quad across 4 crossing edges
+            a, b = inside
+            c, d = outside
+            pac, pad = edge_of[(a, c)], edge_of[(a, d)]
+            pbc, pbd = edge_of[(b, c)], edge_of[(b, d)]
+            table[case, 0] = [pac, pad, pbd]
+            table[case, 1] = [pac, pbd, pbc]
+            counts[case] = 2
+    return table, counts
+
+
+_CASE_TABLE, _CASE_COUNTS = _build_case_table()
+
+
+def _tet_triangles(pos, val, inside):
+    """Vectorized per-tet triangle extraction.
+
+    pos: [N, 4, 3] tet corner positions; val: [N, 4] field values
+    (signed: >0 inside); inside: [N, 4] bool. Returns
+    (tris [N, 2, 3, 3], tri_valid [N, 2]). Orientation: normals point
+    toward the *outside* (val<0) region.
+    """
+    case = (inside[:, 0].astype(jnp.int32)
+            + 2 * inside[:, 1] + 4 * inside[:, 2] + 8 * inside[:, 3])
+    table = jnp.asarray(_CASE_TABLE)          # [16, 2, 3]
+    counts = jnp.asarray(_CASE_COUNTS)        # [16]
+    edges = jnp.asarray(_TET_EDGES)           # [6, 2]
+
+    # crossing point on every tet edge (mask invalid later)
+    va = val[:, edges[:, 0]]                  # [N, 6]
+    vb = val[:, edges[:, 1]]
+    denom = va - vb
+    t = va / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = jnp.clip(t, 0.0, 1.0)
+    pa = pos[:, edges[:, 0]]                  # [N, 6, 3]
+    pb = pos[:, edges[:, 1]]
+    cross_pts = pa + t[..., None] * (pb - pa)
+
+    tri_edges = table[case]                   # [N, 2, 3]
+    safe = jnp.maximum(tri_edges, 0)
+    tris = jnp.take_along_axis(
+        cross_pts[:, None, :, :].repeat(2, 1),
+        safe[..., None].repeat(3, -1), axis=2)      # [N, 2, 3, 3]
+    ntri = counts[case]
+    tri_valid = jnp.stack([ntri >= 1, ntri >= 2], -1)
+
+    # outward orientation: flip if normal points toward the inside centroid
+    w_in = inside.astype(jnp.float32)
+    c_in = (pos * w_in[..., None]).sum(1) / jnp.maximum(
+        w_in.sum(1, keepdims=True), 1.0)      # [N, 3]
+    n = jnp.cross(tris[:, :, 1] - tris[:, :, 0],
+                  tris[:, :, 2] - tris[:, :, 0])   # [N, 2, 3]
+    to_in = c_in[:, None, :] - tris[:, :, 0]
+    flip = (n * to_in).sum(-1) > 0            # normal toward inside → flip
+    tris = jnp.where(flip[..., None, None],
+                     tris[:, :, ::-1, :], tris)
+    return tris, tri_valid
+
+
+@partial(jax.jit, static_argnames=("max_tris", "slab"))
+def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
+                       origin=(-1.0, -1.0, -1.0), spacing=None,
+                       max_tris: int = 200_000, slab: int = 8):
+    """Extract the iso-surface of a dense [R, R, R] field.
+
+    `grid` is signed relative to `iso`: surface where grid == iso, inside
+    where grid > iso (density convention; negate an SDF before calling).
+    Returns (verts [max_tris*3, 3] triangle soup, tri_count, overflow).
+    """
+    r = grid.shape[0]
+    if spacing is None:
+        spacing = 2.0 / (r - 1)
+    origin = jnp.asarray(origin, jnp.float32)
+    field = grid - iso
+    ncells = r - 1
+    nslabs = -(-ncells // slab)
+
+    # global triangle count prefix per slab for compact output offsets
+    def slab_tris(s0):
+        """Triangles for cells with z-index in [s0, s0+slab)."""
+        zs = s0 + jnp.arange(slab)
+        sl = jax.lax.dynamic_slice_in_dim(field, s0, slab + 1, axis=2)
+        # corner values per cell [ncells, ncells, slab, 8]
+        cx, cy, cz = _CORNERS[:, 0], _CORNERS[:, 1], _CORNERS[:, 2]
+        vals = jnp.stack([
+            sl[cx[k]: cx[k] + ncells, cy[k]: cy[k] + ncells,
+               cz[k]: cz[k] + slab] for k in range(8)], -1)
+        # positions
+        ix = jnp.arange(ncells)
+        gx, gy, gz = jnp.meshgrid(ix, ix, zs, indexing="ij")
+        base = jnp.stack([gx, gy, gz], -1).astype(jnp.float32)
+        corner_off = jnp.asarray(_CORNERS, jnp.float32)
+        pos = (base[..., None, :] + corner_off) * spacing + origin
+
+        pos = pos.reshape(-1, 8, 3)
+        vals = vals.reshape(-1, 8)
+        zvalid = (gz < ncells).reshape(-1)
+
+        tets = jnp.asarray(_TETS)
+        tp = pos[:, tets].reshape(-1, 4, 3)         # [C*6, 4, 3]
+        tv = vals[:, tets].reshape(-1, 4)
+        inside = tv > 0
+        tris, valid = _tet_triangles(tp, tv, inside)
+        valid = valid & zvalid.repeat(6)[:, None]
+        return tris.reshape(-1, 3, 3), valid.reshape(-1)
+
+    nv_out = jnp.zeros((max_tris, 3, 3), jnp.float32)
+
+    def body(i, state):
+        out, count = state
+        tris, valid = slab_tris(i * slab)
+        k = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        dst = jnp.where(valid, count + k, max_tris)
+        out = out.at[dst].set(tris, mode="drop")
+        return out, count + valid.sum(dtype=jnp.int32)
+
+    out, count = jax.lax.fori_loop(0, nslabs, body, (nv_out, jnp.int32(0)))
+    overflow = count > max_tris
+    return out, jnp.minimum(count, max_tris), overflow
+
+
+def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
+    """Host-side vertex weld: triangle soup → (v [Nv,3], f [Nf,3]).
+    Counterpart of the index dedup trimesh does inside the reference's
+    mesh-from-marching-cubes path."""
+    tris = np.asarray(tri_soup[:tri_count]).reshape(-1, 3)
+    keys = np.round(tris, decimals)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    # representative positions (first occurrence, unrounded)
+    order = np.arange(len(inv))
+    first = np.full(len(uniq), len(inv), np.int64)
+    np.minimum.at(first, inv, order)
+    v = tris[first].astype(np.float32)
+    f = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces produced by welding
+    keep = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+            & (f[:, 0] != f[:, 2]))
+    return v, f[keep]
+
+
+def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
+                       max_tris: int = 400_000):
+    """Grid → welded Mesh (host hop at the stage boundary).
+
+    Counterpart of reference `marching_cubes_density_to_mesh`
+    (`mesh_utils.py:488-519`) minus the pymeshlab clean (see native/)."""
+    from ..core.mesh import Mesh
+    r = grid.shape[0]
+    spacing = (bounds[1] - bounds[0]) / (r - 1)
+    soup, count, overflow = marching_tets_grid(
+        jnp.asarray(grid), iso=iso,
+        origin=(bounds[0],) * 3, spacing=spacing, max_tris=max_tris)
+    v, f = weld(np.asarray(soup), int(count))
+    if bool(overflow):
+        import warnings
+        warnings.warn(f"marching tets overflow: capacity {max_tris} hit")
+    return Mesh(v=v, f=f)
+
+
+# ------------------------------------------------------------------ #
+# Differentiable variant (DMTet-style) — topology frozen, geometry live
+# ------------------------------------------------------------------ #
+def marching_tets_diff(verts: jnp.ndarray, sdf: jnp.ndarray,
+                       tets: jnp.ndarray):
+    """Differentiable surface from an explicit tet mesh.
+
+    verts: [V, 3] (live — deformable grid); sdf: [V] (live, >0 inside);
+    tets: [T, 4] int. Returns (tris [T*2, 3, 3], valid [T*2]) with
+    gradients to verts & sdf through the edge interpolation; the sign
+    pattern (topology) is stop-gradient. This is the geometry engine the
+    FlexiCubes-role fitter (`algorithms.flexicubes_fit`) optimizes through.
+    """
+    tv = sdf[tets]                       # [T, 4]
+    tp = verts[tets]                     # [T, 4, 3]
+    inside = jax.lax.stop_gradient(tv) > 0
+    tris, valid = _tet_triangles(tp, tv, inside)
+    return tris.reshape(-1, 3, 3), valid.reshape(-1)
+
+
+def grid_tets(res: int):
+    """Regular tet decomposition of a res³ vertex grid in [-1,1]³ →
+    (verts [res³, 3] np, tets [(res-1)³*6, 4] np)."""
+    lin = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    verts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+
+    def vid(x, y, z):
+        return (x * res + y) * res + z
+
+    ix = np.arange(res - 1)
+    cx, cy, cz = np.meshgrid(ix, ix, ix, indexing="ij")
+    corner_ids = np.stack([
+        vid(cx + _CORNERS[k, 0], cy + _CORNERS[k, 1], cz + _CORNERS[k, 2])
+        for k in range(8)], -1).reshape(-1, 8)
+    tets = corner_ids[:, _TETS].reshape(-1, 4).astype(np.int32)
+    return verts, tets

@@ -1,0 +1,293 @@
+"""Tests for tetra (surface extraction), hashgrid, raymarch, ssim, knn."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comfy3d_tpu.ops import hashgrid, knn, raymarch, ssim, tetra
+
+
+# --------------------------------------------------------------------- #
+# marching tetrahedra
+# --------------------------------------------------------------------- #
+def sphere_grid(res=33, r=0.6):
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    return r - np.sqrt(gx**2 + gy**2 + gz**2)  # >0 inside
+
+
+class TestMarchingTets:
+    def test_sphere_extraction(self):
+        grid = sphere_grid()
+        mesh = tetra.extract_isosurface(grid, iso=0.0, max_tris=100_000)
+        assert mesh.num_vertices > 100 and mesh.num_faces > 100
+        radii = np.linalg.norm(mesh.v, axis=-1)
+        np.testing.assert_allclose(radii.mean(), 0.6, atol=0.02)
+        assert radii.std() < 0.02
+
+    def test_outward_orientation(self):
+        grid = sphere_grid()
+        mesh = tetra.extract_isosurface(grid, iso=0.0, max_tris=100_000)
+        mesh = mesh.auto_normal()
+        dots = (mesh.v / np.linalg.norm(mesh.v, axis=-1, keepdims=True)
+                * mesh.vn).sum(-1)
+        assert (dots > 0).mean() > 0.99  # normals point outward
+
+    def test_empty_grid(self):
+        grid = -np.ones((17, 17, 17), np.float32)
+        soup, count, overflow = tetra.marching_tets_grid(
+            jnp.asarray(grid), max_tris=1000)
+        assert int(count) == 0 and not bool(overflow)
+
+    def test_overflow_flag(self):
+        grid = sphere_grid(res=33)
+        _, count, overflow = tetra.marching_tets_grid(
+            jnp.asarray(grid), max_tris=16)
+        assert bool(overflow)
+
+    def test_closed_surface_watertight(self):
+        """Each edge of a closed marching-tets surface is shared by
+        exactly 2 faces."""
+        mesh = tetra.extract_isosurface(sphere_grid(17), max_tris=50_000)
+        edges = np.concatenate([mesh.f[:, [0, 1]], mesh.f[:, [1, 2]],
+                                mesh.f[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
+    def test_diff_variant_gradients(self):
+        verts, tets = tetra.grid_tets(9)
+        verts = jnp.asarray(verts)
+        tets = jnp.asarray(tets)
+
+        def surface_area(sdf):
+            tris, valid = tetra.marching_tets_diff(verts, sdf, tets)
+            n = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+            # safe norm: invalid slots are zero-area → sqrt(0) would NaN
+            area = 0.5 * jnp.sqrt(jnp.maximum((n * n).sum(-1), 1e-16))
+            return jnp.sum(area * valid)
+
+        sdf = 0.5 - jnp.linalg.norm(verts, axis=-1)
+        area = float(surface_area(sdf))
+        # sphere r=0.5 → area ≈ 4πr² ≈ 3.14
+        assert abs(area - 4 * np.pi * 0.25) / (4 * np.pi * 0.25) < 0.2
+        g = jax.grad(surface_area)(sdf)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+# --------------------------------------------------------------------- #
+# hash grid
+# --------------------------------------------------------------------- #
+class TestHashGrid:
+    def test_encode_shapes_and_determinism(self):
+        cfg = hashgrid.HashGridConfig(num_levels=4, log2_table_size=12,
+                                      base_resolution=4, max_resolution=64)
+        params = hashgrid.init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3))
+        f1 = hashgrid.encode(params, x, cfg)
+        f2 = hashgrid.encode(params, x, cfg)
+        assert f1.shape == (100, cfg.output_dim)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_continuity(self):
+        cfg = hashgrid.HashGridConfig(num_levels=4, log2_table_size=12,
+                                      base_resolution=4, max_resolution=32)
+        params = hashgrid.init_params(jax.random.PRNGKey(0), cfg, scale=0.1)
+        x = jnp.array([[0.5, 0.5, 0.5]])
+        eps = 1e-5
+        f0 = hashgrid.encode(params, x, cfg)
+        f1 = hashgrid.encode(params, x + eps, cfg)
+        assert float(jnp.abs(f1 - f0).max()) < 1e-3
+
+    def test_gradient_flows_to_table(self):
+        cfg = hashgrid.HashGridConfig(num_levels=2, log2_table_size=10,
+                                      base_resolution=4, max_resolution=16)
+        params = hashgrid.init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+        g = jax.grad(lambda p: jnp.sum(hashgrid.encode(p, x, cfg) ** 2))(
+            params)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_fit_toy_field(self):
+        """The encoder + tiny linear head can overfit a smooth 3D field."""
+        cfg = hashgrid.HashGridConfig(num_levels=8, log2_table_size=14,
+                                      base_resolution=4, max_resolution=64)
+        params = hashgrid.init_params(jax.random.PRNGKey(0), cfg)
+        w = jnp.zeros((cfg.output_dim,))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2048, 3))
+        target = jnp.sin(4 * x[:, 0]) * jnp.cos(3 * x[:, 1]) + x[:, 2]
+
+        def loss(p):
+            tbl, head = p
+            pred = hashgrid.encode(tbl, x, cfg) @ head
+            return jnp.mean((pred - target) ** 2)
+
+        import optax
+        opt = optax.adam(1e-2)
+        p = (params, w)
+        state = opt.init(p)
+        step = jax.jit(lambda p, s: _opt_step(loss, opt, p, s))
+        l0 = float(loss(p))
+        for _ in range(60):
+            p, state = step(p, state)
+        assert float(loss(p)) < l0 * 0.1
+
+
+def _opt_step(loss, opt, p, s):
+    import optax
+    g = jax.grad(loss)(p)
+    u, s = opt.update(g, s)
+    return optax.apply_updates(p, u), s
+
+
+# --------------------------------------------------------------------- #
+# ray marching
+# --------------------------------------------------------------------- #
+class TestRayMarch:
+    def test_aabb(self):
+        o = jnp.array([[0.0, 0.0, 3.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        tn, tf = raymarch.ray_aabb(o, d, bound=1.0)
+        np.testing.assert_allclose(float(tn[0]), 2.0, atol=1e-5)
+        np.testing.assert_allclose(float(tf[0]), 4.0, atol=1e-5)
+
+    def test_aabb_miss(self):
+        o = jnp.array([[0.0, 5.0, 3.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        tn, tf = raymarch.ray_aabb(o, d, bound=1.0)
+        assert float(tn[0]) >= float(tf[0])
+
+    def test_march_constant_sphere(self):
+        """Uniform density inside a sphere → center ray opaque red,
+        miss ray transparent."""
+        def field(xyz, dirs):
+            inside = jnp.linalg.norm(xyz, axis=-1) < 0.5
+            sigma = jnp.where(inside, 50.0, 0.0)
+            rgb = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (xyz.shape[0], 1))
+            return sigma, rgb
+
+        o = jnp.array([[0.0, 0.0, 3.0], [0.0, 2.0, 3.0]])
+        d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+        out = raymarch.march(field, o, d, num_steps=64)
+        assert float(out["alpha"][0]) > 0.99
+        assert float(out["alpha"][1]) < 1e-3
+        np.testing.assert_allclose(np.asarray(out["rgb"][0]), [1, 0, 0],
+                                   atol=1e-2)
+        np.testing.assert_allclose(float(out["depth"][0]), 2.5, atol=0.1)
+
+    def test_occupancy_mask_skips_density(self):
+        def field(xyz, dirs):
+            return jnp.full(xyz.shape[:1], 10.0), jnp.ones(xyz.shape)
+
+        occ = jnp.zeros((8, 8, 8))
+        o = jnp.array([[0.0, 0.0, 3.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        out = raymarch.march(field, o, d, occ_grid=occ, num_steps=32)
+        assert float(out["alpha"][0]) == 0.0
+
+    def test_weights_sum_to_alpha(self):
+        sigma = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (4, 16)))
+        dt = jnp.full((4, 16), 0.1)
+        w = raymarch.render_weights(sigma, dt)
+        alpha = 1.0 - jnp.exp(-(sigma * dt).sum(-1))
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), np.asarray(alpha),
+                                   atol=1e-4)
+
+    def test_march_differentiable(self):
+        def make_field(c):
+            def field(xyz, dirs):
+                sigma = 20.0 * jnp.exp(-((xyz) ** 2).sum(-1) / 0.1)
+                rgb = jnp.tile(c[None, :], (xyz.shape[0], 1))
+                return sigma, rgb
+            return field
+
+        o = jnp.array([[0.0, 0.0, 2.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+
+        def loss(c):
+            out = raymarch.march(make_field(c), o, d, num_steps=32)
+            return jnp.sum((out["rgb"] - 0.2) ** 2)
+
+        g = jax.grad(loss)(jnp.array([0.5, 0.5, 0.5]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+# --------------------------------------------------------------------- #
+# SSIM
+# --------------------------------------------------------------------- #
+class TestSSIM:
+    def test_identical_images(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        assert float(ssim.ssim(x, x)) > 0.9999
+        assert float(ssim.ms_ssim(x, x, levels=3)) > 0.999
+
+    def test_noise_lowers_ssim(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        y = jnp.clip(x + 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                                 x.shape), 0, 1)
+        assert float(ssim.ssim(x, y)) < 0.8
+
+    def test_monotone_in_noise(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        vals = []
+        for i, amp in enumerate([0.05, 0.15, 0.4]):
+            y = jnp.clip(x + amp * jax.random.normal(
+                jax.random.PRNGKey(i + 1), x.shape), 0, 1)
+            vals.append(float(ssim.ssim(x, y)))
+        assert vals[0] > vals[1] > vals[2]
+
+    def test_differentiable(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        y = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        g = jax.grad(lambda a: 1.0 - ssim.ssim(a, y))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_psnr(self):
+        x = jnp.zeros((1, 8, 8, 3))
+        y = jnp.full((1, 8, 8, 3), 0.1)
+        np.testing.assert_allclose(float(ssim.psnr(x, y)), 20.0, atol=1e-3)
+
+
+# --------------------------------------------------------------------- #
+# KNN / segment ops
+# --------------------------------------------------------------------- #
+class TestKNN:
+    def test_matches_numpy_bruteforce(self):
+        rng = np.random.RandomState(0)
+        pts = rng.randn(500, 3).astype(np.float32)
+        q = rng.randn(50, 3).astype(np.float32)
+        d, i = knn.knn(jnp.asarray(q), jnp.asarray(pts), k=4, chunk=128)
+        ref = ((q[:, None] - pts[None]) ** 2).sum(-1)
+        ref_i = np.argsort(ref, axis=1)[:, :4]
+        ref_d = np.take_along_axis(ref, ref_i, 1)
+        np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-3,
+                                   atol=1e-4)
+        # indices may tie-swap; compare distances only at ties
+        same = np.asarray(i) == ref_i
+        assert same.mean() > 0.95
+
+    def test_valid_mask_excludes(self):
+        pts = jnp.array([[0.0, 0, 0], [10.0, 0, 0]])
+        q = jnp.array([[9.0, 0, 0]])
+        valid = jnp.array([True, False])
+        d, i = knn.knn(q, pts, k=1, valid=valid, chunk=2)
+        assert int(i[0, 0]) == 0  # nearest *valid* point
+
+    def test_mean_knn_distance(self):
+        pts = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        m = knn.mean_knn_distance(pts, k=1)
+        np.testing.assert_allclose(np.asarray(m), [1, 1, 1], atol=1e-5)
+
+    def test_segment_ops(self):
+        data = jnp.array([1.0, 2.0, 3.0, 4.0])
+        seg = jnp.array([0, 0, 1, 1])
+        np.testing.assert_allclose(
+            np.asarray(knn.segment_sum(data, seg, 2)), [3, 7])
+        np.testing.assert_allclose(
+            np.asarray(knn.segment_mean(data, seg, 2)), [1.5, 3.5])
+        np.testing.assert_allclose(
+            np.asarray(knn.segment_max(data, seg, 2)), [2, 4])
