@@ -1,0 +1,175 @@
+"""SDF-grid → mesh fitting from multi-view depth/mask(/normal) renders.
+
+Counterpart of `FlexiCubesTrainer`
+(`MVs_Algorithms/FlexiCubes/flexicubes_trainer.py:22-213`): a learnable
+per-vertex SDF + vertex deformation over a regular grid, optimized so the
+extracted surface's renders match reference depth + mask (+ normal) maps;
+losses mirror the reference (mask L1, masked depth L2, normal cosine, SDF
+sign-consistency regularizer and deformation magnitude in the L_dev role).
+
+The surface engine is `ops.tetra.marching_tets_diff` (DMTet-style): frozen
+per-step topology, live edge interpolation → gradients reach the SDF and
+deformation through rendered barycentrics and the soft silhouette. This is
+the TPU-native replacement for the reference's FlexiCubes tables + CUDA
+nvdiffrast stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..ops import rasterize as R, tetra
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFFitConfig:
+    resolution: int = 32
+    iterations: int = 300
+    batch_size: int = 2
+    lr: float = 1e-2
+    lambda_mask: float = 1.0
+    lambda_depth: float = 10.0
+    lambda_normal: float = 0.2
+    lambda_sign: float = 0.1
+    lambda_deform: float = 0.5
+    sigma_sil: float = 3e-4
+    max_deform: float = 0.45     # fraction of a grid cell
+    method: str = "binned"
+
+
+def init_params(cfg: SDFFitConfig, init_radius: float = 0.5):
+    verts, tets = tetra.grid_tets(cfg.resolution)
+    sdf = init_radius - np.linalg.norm(verts, axis=-1)
+    return {
+        "sdf": jnp.asarray(sdf, jnp.float32),
+        "deform": jnp.zeros((verts.shape[0], 3), jnp.float32),
+    }, jnp.asarray(verts), jnp.asarray(tets)
+
+
+def _edges_of_tets(tets: np.ndarray) -> np.ndarray:
+    pairs = np.concatenate([np.asarray(tets)[:, list(p)] for p in
+                            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+                             (2, 3)]])
+    pairs = np.sort(pairs, axis=1)
+    return np.unique(pairs, axis=0)
+
+
+def sign_consistency_loss(sdf: jnp.ndarray, edges: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Penalize sign flips across grid edges (reference `sdf_reg_loss`
+    role, FlexiCubes loss.py): encourages a clean inside/outside split."""
+    a = sdf[edges[:, 0]]
+    b = sdf[edges[:, 1]]
+    flip = (a * b) < 0
+    # BCE-style pull toward agreeing signs on flipped edges
+    return (jax.nn.softplus(-a * jnp.sign(b)) * flip).mean() + \
+        (jax.nn.softplus(-b * jnp.sign(a)) * flip).mean()
+
+
+def fit(cameras: Camera, ref_masks, ref_depths=None, ref_normals=None,
+        cfg: SDFFitConfig = SDFFitConfig(), seed: int = 0,
+        progress: Optional[Callable] = None):
+    """Fit the SDF grid; returns the extracted (welded) core.Mesh.
+
+    ref_masks [V,H,W]; ref_depths [V,H,W] view-space depth (0 = bg);
+    ref_normals [V,H,W,3] world normals in [0,1] encoding (optional).
+    """
+    import optax
+
+    ref_masks = jnp.asarray(ref_masks, jnp.float32)
+    if ref_depths is not None:
+        ref_depths = jnp.asarray(ref_depths, jnp.float32)
+    if ref_normals is not None:
+        ref_normals = jnp.asarray(ref_normals, jnp.float32)
+    params, grid_verts, tets_arr = init_params(cfg)
+    edges = jnp.asarray(_edges_of_tets(np.asarray(tets_arr)))
+    cell = 2.0 / (cfg.resolution - 1)
+    nviews = ref_masks.shape[0]
+    height, width = cameras.height, cameras.width
+
+    def geometry(params):
+        deform = jnp.tanh(params["deform"]) * (cfg.max_deform * cell)
+        v = grid_verts + deform
+        tris, valid = tetra.marching_tets_diff(v, params["sdf"], tets_arr)
+        return tris, valid
+
+    def render_view(tris, valid, view_idx):
+        flat_v = tris.reshape(-1, 3)
+        faces = jnp.arange(flat_v.shape[0], dtype=jnp.int32).reshape(-1, 3)
+        mvp = cameras.view_proj[view_idx]
+        rast = R.rasterize(flat_v, faces, mvp, height, width,
+                           face_valid=valid, method=cfg.method)
+        bary = R.recompute_barycentrics(flat_v, mvp, faces, rast)
+        # differentiable depth: interpolate view depth from live verts
+        v_clip = R.project_vertices(flat_v, mvp)
+        _, w_view, _ = R.clip_to_screen(v_clip, height, width)
+        depth = R.interpolate(w_view[:, None], rast, faces, bary)[..., 0]
+        soft = R.soft_silhouette(flat_v, faces, mvp, height, width,
+                                 sigma=cfg.sigma_sil, face_valid=valid)
+        normal = None
+        if ref_normals is not None:
+            fn = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+            fn = fn / jnp.maximum(
+                jnp.linalg.norm(fn, -1, keepdims=True), 1e-12)
+            vn_flat = jnp.repeat(fn, 3, axis=0)
+            normal = R.interpolate(vn_flat, rast, faces, bary)
+        return {"mask": rast.mask, "soft": soft, "depth": depth,
+                "normal": normal}
+
+    def loss_fn(params, view_idx):
+        tris, valid = geometry(params)
+        loss = 0.0
+        for b in range(cfg.batch_size):
+            i = view_idx[b]
+            out = render_view(tris, valid, i)
+            m_ref = ref_masks[i]
+            loss = loss + cfg.lambda_mask * jnp.abs(
+                out["soft"] - m_ref).mean()
+            both = out["mask"] * m_ref
+            if ref_depths is not None:
+                loss = loss + cfg.lambda_depth * (
+                    ((out["depth"] - ref_depths[i]) ** 2) * both).sum() \
+                    / jnp.maximum(both.sum(), 1.0)
+            if ref_normals is not None:
+                n_ref = ref_normals[i] * 2.0 - 1.0
+                cos = (out["normal"] * n_ref).sum(-1)
+                loss = loss + cfg.lambda_normal * (
+                    (1.0 - cos) * both).sum() / jnp.maximum(both.sum(), 1.0)
+        loss = loss / cfg.batch_size
+        loss = loss + cfg.lambda_sign * sign_consistency_loss(
+            params["sdf"], edges)
+        loss = loss + cfg.lambda_deform * (params["deform"] ** 2).mean()
+        return loss
+
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        view_idx = jax.random.randint(key, (cfg.batch_size,), 0, nviews)
+        loss, g = jax.value_and_grad(loss_fn)(params, view_idx)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for it in range(cfg.iterations):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        if progress is not None and it % 50 == 0:
+            progress(it, {"loss": float(loss)})
+
+    # extract final mesh (host weld)
+    tris, valid = geometry(params)
+    tris = np.asarray(tris)
+    valid = np.asarray(valid)
+    soup = tris[valid]
+    from ..ops.tetra import weld
+    v, f = weld(soup.reshape(-1, 3, 3), soup.shape[0])
+    from ..core.mesh import Mesh
+    return Mesh(v=v, f=f).auto_normal()

@@ -272,12 +272,17 @@ tile_composite.defvjp(_composite_fwd, _composite_bwd)
 def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
                   w2c, intrinsics, width: int, height: int,
                   background=None, max_per_tile: int = 512,
-                  pair_capacity: int | None = None, chunk: int = 16):
+                  pair_capacity: int | None = None, chunk: int = 16,
+                  means2d_offset=None):
     """Render raw gaussian arrays for one camera. Fully differentiable.
 
     colors: [N, C] per-gaussian channel vector (precomputed — SH eval or
-    raw RGB). Returns dict(image [H,W,C], alpha, depth, radii [N],
-    means2d [N,2] — hook for densification stats, overflow flag).
+    raw RGB). `means2d_offset` [N,2] (zeros) is the viewspace-gradient
+    hook: its cotangent is the per-gaussian screen-space gradient that
+    densification thresholds on (the reference reads
+    `viewspace_points.grad`, main_3DGS.py:211-213).
+    Returns dict(image [H,W,C], alpha, depth, radii [N], means2d [N,2],
+    overflow flag).
     """
     n = xyz.shape[0]
     if pair_capacity is None:
@@ -286,6 +291,8 @@ def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
 
     means2d, depth, conic, radii, visible = project_gaussians(
         xyz, scale, rot_quat, w2c, intrinsics, width, height)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
     active = visible & alive & (opacity > ALPHA_MIN)
 
     bb_min = means2d - radii[:, None]

@@ -101,7 +101,11 @@ def _coverage(px, p0, p1, p2, w0, w1, w2, eps=1e-9):
     inside = (jnp.abs(area) > eps) & (
         ((e12 >= 0) & (e20 >= 0) & (e01 >= 0))
         | ((e12 <= 0) & (e20 <= 0) & (e01 <= 0)))
-    inv_area = jnp.where(jnp.abs(area) > eps, 1.0 / area, 0.0)
+    # guard the division *input*, not just the output: with area exactly 0
+    # (degenerate/padding faces) the untaken 1/area branch is inf and its
+    # zero cotangent becomes NaN under autodiff (0·inf)
+    area_safe = jnp.where(jnp.abs(area) > eps, area, 1.0)
+    inv_area = jnp.where(jnp.abs(area) > eps, 1.0 / area_safe, 0.0)
     b0 = e12 * inv_area
     b1 = e20 * inv_area
     b2 = e01 * inv_area
@@ -293,7 +297,9 @@ def recompute_barycentrics(v: jnp.ndarray, mvp: jnp.ndarray,
     e20 = _edge(px, p2, p0)
     e01 = _edge(px, p0, p1)
     area = _edge(p2, p0, p1)
-    inv_area = jnp.where(jnp.abs(area) > 1e-9, 1.0 / area, 0.0)
+    # same 0·inf NaN guard as _coverage: divide by a safe area
+    area_safe = jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
+    inv_area = jnp.where(jnp.abs(area) > 1e-9, 1.0 / area_safe, 0.0)
     b = jnp.stack([e12, e20, e01], -1) * inv_area[..., None]
     if perspective:
         wv = jnp.stack([w_view[fv[..., 0]], w_view[fv[..., 1]],
@@ -404,7 +410,10 @@ def soft_silhouette(v: jnp.ndarray, faces: jnp.ndarray, mvp: jnp.ndarray,
 
     nchunks = faces.shape[0] // chunk
     init = jnp.zeros((height, width), jnp.float32)
-    out, _ = jax.lax.scan(step, init,
+    # remat: without it, autodiff saves [nchunks, H, W, chunk] residuals —
+    # recomputing the chunk forward in the backward pass is far cheaper
+    # than that memory (HBM bandwidth is the budget, SURVEY.md §hardware)
+    out, _ = jax.lax.scan(jax.checkpoint(step), init,
                           (faces.reshape(nchunks, chunk, 3),
                            face_valid.reshape(nchunks, chunk)))
     return 1.0 - jnp.exp(out)

@@ -21,3 +21,11 @@ import jax  # noqa: E402  (after env setup)
 # Numeric tests compare against float64-ish references; keep MXU-emulating
 # bf16 matmul defaults out of the unit-test path.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the brute-force rasterizer scans are
+# compile-heavy; caching across test sessions cuts reruns dramatically.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_comfy3d")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

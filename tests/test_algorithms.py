@@ -1,0 +1,152 @@
+"""Optimizer tests: diff-mesh fitting, Instant-NGP fitting, SDF fitting.
+Each uses a tiny synthetic scene and asserts measurable convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comfy3d_tpu.algorithms import diff_mesh, ngp, sdf_fit
+from comfy3d_tpu.core.camera import Camera
+from comfy3d_tpu.core.mesh import Mesh
+from comfy3d_tpu.ops import mesh_render, tetra
+
+
+def icosphere(subdiv=1, radius=0.6):
+    t = (1 + 5 ** 0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]],
+                 np.float32)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int32)
+    for _ in range(subdiv):
+        v, f = _subdivide(v, f)
+    v = v / np.linalg.norm(v, axis=-1, keepdims=True) * radius
+    return Mesh(v=v, f=f)
+
+
+def _subdivide(v, f):
+    mid = {}
+    v = list(map(tuple, v))
+
+    def midpoint(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in mid:
+            mid[key] = len(v)
+            v.append(tuple((np.array(v[a]) + np.array(v[b])) / 2))
+        return mid[key]
+
+    nf = []
+    for a, b, c in f:
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+    return np.array(v, np.float32), np.array(nf, np.int32)
+
+
+def orbit_cams(n=6, size=48, radius=2.0):
+    return Camera.from_orbit(
+        jnp.full((n,), 15.0), jnp.arange(n) * (360.0 / n), radius,
+        width=size, height=size)
+
+
+class TestDiffMesh:
+    def test_vertex_color_fit_recovers_target(self):
+        mesh = icosphere(subdiv=1)
+        cams = orbit_cams(n=4, size=40)
+        # target: same geometry, red vertex colors
+        target_vc = jnp.tile(jnp.array([[0.8, 0.2, 0.1]]),
+                             (mesh.num_vertices, 1))
+        ref = mesh_render.render_mesh(jnp.asarray(mesh.v),
+                                      jnp.asarray(mesh.f), cams,
+                                      vc=target_vc, method="bruteforce")
+        cfg = diff_mesh.DiffMeshConfig(iterations=60, batch_size=2,
+                                       lambda_lap=1.0, lambda_offset=1.0,
+                                       method="bruteforce")
+        out = diff_mesh.fit(mesh, cams, ref["image"], ref["alpha"], cfg)
+        # fitted vertex colors approach the target red
+        err = np.abs(out.vc - np.asarray(target_vc)).mean()
+        assert err < 0.15, err
+
+    def test_geometry_shrinks_toward_smaller_target(self):
+        big = icosphere(subdiv=1, radius=0.75)
+        small = icosphere(subdiv=1, radius=0.55)
+        cams = orbit_cams(n=4, size=40)
+        ref = mesh_render.render_mesh(jnp.asarray(small.v),
+                                      jnp.asarray(small.f), cams,
+                                      method="bruteforce")
+        cfg = diff_mesh.DiffMeshConfig(iterations=80, batch_size=2,
+                                       lr_verts=5e-3, lambda_lap=3.0,
+                                       lambda_offset=0.0,
+                                       lambda_alpha=2.0,
+                                       method="bruteforce")
+        out = diff_mesh.fit(big, cams, ref["image"], ref["alpha"], cfg)
+        r_before = np.linalg.norm(big.v, axis=-1).mean()
+        r_after = np.linalg.norm(out.v, axis=-1).mean()
+        assert r_after < r_before - 0.02, (r_before, r_after)
+
+    def test_adjacency_builder(self):
+        mesh = icosphere(subdiv=0)
+        adj = diff_mesh.build_adjacency(mesh.f, mesh.num_vertices)
+        assert adj.shape[0] == 12
+        assert ((adj >= 0).sum(1) == 5).all()  # icosahedron: degree 5
+
+
+class TestNGP:
+    def test_fit_converges_on_synthetic(self):
+        mesh = icosphere(subdiv=1)
+        cams = orbit_cams(n=6, size=32)
+        vc = (jnp.asarray(mesh.v) * 0.5 + 0.5)
+        ref = mesh_render.render_mesh(jnp.asarray(mesh.v),
+                                      jnp.asarray(mesh.f), cams, vc=vc,
+                                      method="bruteforce")
+        cfg = ngp.NGPConfig(
+            iterations=60, ray_batch=1024, num_steps=48, occ_res=16,
+            grid=ngp.hashgrid.HashGridConfig(
+                num_levels=6, log2_table_size=13, max_resolution=64),
+            hidden=32)
+        losses = []
+        params, occ = ngp.fit(cams, ref["image"], ref["alpha"], cfg,
+                              progress=lambda it, m: losses.append(
+                                  m["loss"]))
+        assert losses[-1] < losses[0] * 0.5, losses
+
+    def test_density_grid_shape(self):
+        cfg = ngp.NGPConfig(grid=ngp.hashgrid.HashGridConfig(
+            num_levels=4, log2_table_size=10, max_resolution=32), hidden=16)
+        params = ngp.init_params(jax.random.PRNGKey(0), cfg)
+        grid = ngp.density_grid(params, cfg, res=16)
+        assert grid.shape == (16, 16, 16)
+        assert bool(jnp.isfinite(grid).all())
+
+
+class TestSDFFit:
+    def test_recovers_sphere_from_masks(self):
+        gt = icosphere(subdiv=2, radius=0.55)
+        cams = orbit_cams(n=6, size=40)
+        ref = mesh_render.render_mesh(jnp.asarray(gt.v), jnp.asarray(gt.f),
+                                      cams, method="bruteforce")
+        cfg = sdf_fit.SDFFitConfig(resolution=12, iterations=60,
+                                   batch_size=2, lambda_depth=5.0,
+                                   method="bruteforce")
+        mesh = sdf_fit.fit(cams, ref["alpha"], ref_depths=ref["depth"],
+                           cfg=cfg)
+        assert mesh.num_faces > 50
+        radii = np.linalg.norm(mesh.v, axis=-1)
+        # recovered surface roughly matches the 0.55 sphere
+        assert abs(radii.mean() - 0.55) < 0.12, radii.mean()
+
+    def test_sign_consistency_loss(self):
+        verts, tets = tetra.grid_tets(4)
+        edges = sdf_fit._edges_of_tets(tets)
+        sdf_clean = jnp.ones((verts.shape[0],))
+        l_clean = float(sdf_fit.sign_consistency_loss(
+            sdf_clean, jnp.asarray(edges)))
+        key = jax.random.PRNGKey(0)
+        sdf_noisy = jax.random.normal(key, (verts.shape[0],))
+        l_noisy = float(sdf_fit.sign_consistency_loss(
+            sdf_noisy, jnp.asarray(edges)))
+        assert l_clean == 0.0
+        assert l_noisy > 0.0

@@ -1,0 +1,173 @@
+"""Model zoo tests: flax-ViT numeric parity against transformers' torch
+ViTModel through the weight converter (the per-layer diff harness SURVEY.md
+§7 hard-part #5 calls for), plus TripoSR system shape/behavior tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from comfy3d_tpu.models import convert
+from comfy3d_tpu.models.common import ViT
+from comfy3d_tpu.models.triposr import (TripoSR, TripoSRConfig,
+                                        TripoSRPipeline)
+
+
+class TestViTParity:
+    @pytest.fixture(scope="class")
+    def torch_vit(self):
+        import torch
+        from transformers import ViTConfig, ViTModel
+        cfg = ViTConfig(hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=128,
+                        image_size=32, patch_size=8, num_channels=3)
+        torch.manual_seed(0)
+        model = ViTModel(cfg, add_pooling_layer=False).eval()
+        return model
+
+    def test_same_resolution_parity(self, torch_vit):
+        import torch
+        x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = torch_vit(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()
+
+        sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+        params = convert.convert_with_rules(sd, convert.vit_rules(),
+                                            strict=False)
+        vit = ViT(hidden=64, layers=2, heads=2, mlp_dim=128, patch=8,
+                  pretrain_grid=4)
+        out = vit.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_interpolated_positions_parity(self, torch_vit):
+        """Higher-res input exercises the pos-embedding interpolation path
+        (reference uses interpolate_pos_encoding=True at 512²)."""
+        import torch
+        x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = torch_vit(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                interpolate_pos_encoding=True,
+            ).last_hidden_state.numpy()
+
+        sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+        params = convert.convert_with_rules(sd, convert.vit_rules(),
+                                            strict=False)
+        vit = ViT(hidden=64, layers=2, heads=2, mlp_dim=128, patch=8,
+                  pretrain_grid=4)
+        out = np.asarray(vit.apply({"params": params}, jnp.asarray(x)))
+        assert out.shape == ref.shape
+        # interpolation kernels differ slightly (torch bicubic vs jax);
+        # allow a loose-but-meaningful tolerance
+        err = np.abs(out - ref).max()
+        assert err < 0.1, err
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.999
+
+
+class TestConvertHelpers:
+    def test_linear_transpose_roundtrip(self):
+        import torch
+        lin = torch.nn.Linear(8, 4)
+        x = torch.randn(2, 8)
+        ref = lin(x).detach().numpy()
+        k = convert.t_linear(lin.weight.detach().numpy())
+        out = np.asarray(x.numpy() @ k + lin.bias.detach().numpy())
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_conv_transpose_semantics(self):
+        """flax ConvTranspose(k2,s2) must equal torch ConvTranspose2d
+        after the layout conversion (TriplaneUpsample parity)."""
+        import torch
+        import flax.linen as fnn
+        tconv = torch.nn.ConvTranspose2d(6, 3, 2, stride=2)
+        x = np.random.RandomState(0).randn(1, 6, 5, 5).astype(np.float32)
+        with torch.no_grad():
+            ref = tconv(torch.from_numpy(x)).numpy()      # [1,3,10,10]
+        mod = fnn.ConvTranspose(3, (2, 2), strides=(2, 2))
+        kernel = convert.t_conv_transpose(tconv.weight.detach().numpy())
+        params = {"kernel": jnp.asarray(kernel),
+                  "bias": jnp.asarray(tconv.bias.detach().numpy())}
+        out = mod.apply({"params": params},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                                   ref, atol=1e-5)
+
+
+def tiny_cfg():
+    return TripoSRConfig(
+        cond_image_size=32, plane_size=8, token_channels=64, num_layers=2,
+        heads=4, dim_head=16, cross_attention_dim=48, triplane_channels=8,
+        mlp_neurons=16, mlp_hidden_layers=2, vit_hidden=48, vit_layers=2,
+        vit_heads=2)
+
+
+class TestTripoSR:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        return TripoSRPipeline.init_random(jax.random.PRNGKey(0),
+                                           cfg=tiny_cfg())
+
+    def test_scene_codes_shape(self, pipe):
+        img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+        codes = pipe.scene_codes(img)
+        assert codes.shape == (1, 3, 16, 16, 8)
+        assert bool(jnp.isfinite(codes).all())
+
+    def test_query_field(self, pipe):
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        codes = pipe.scene_codes(img)[0]
+        pts = jnp.asarray(
+            np.random.RandomState(1).randn(64, 3).astype(np.float32) * 0.3)
+        sigma, rgb = pipe.model.apply({"params": pipe.params}, codes, pts,
+                                      method=TripoSR.query)
+        assert sigma.shape == (64,) and rgb.shape == (64, 3)
+        assert (np.asarray(sigma) >= 0).all()
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+    def test_outside_radius_zero_features(self, pipe):
+        """grid_sample zero-padding: far-outside points see zero triplane
+        features → constant density/color."""
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        codes = pipe.scene_codes(img)[0]
+        far = jnp.asarray([[5.0, 5.0, 5.0], [-7.0, 6.0, 5.0]])
+        s, c = pipe.model.apply({"params": pipe.params}, codes, far,
+                                method=TripoSR.query)
+        np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s[1]),
+                                   atol=1e-6)
+
+    def test_extract_mesh_smoke(self, pipe):
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        codes = pipe.scene_codes(img)[0]
+        mesh = pipe.extract_mesh(codes, resolution=24, threshold=None
+                                 if False else 1.0, max_tris=200_000)
+        # random net: mesh may or may not be empty — just has to not crash
+        assert mesh is not None
+
+    def test_render_smoke(self, pipe):
+        from comfy3d_tpu.core.camera import Camera
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        codes = pipe.scene_codes(img)
+        cams = Camera.from_orbit(0.0, 0.0, 1.9, fovy_deg=40.0,
+                                 width=24, height=24)
+        out = pipe.render(codes[0], cams, num_steps=16)
+        assert out["rgb"].shape == (24, 24, 3)
+        assert bool(jnp.isfinite(out["rgb"]).all())
+
+
+class TestGridSample:
+    def test_matches_torch_grid_sample(self):
+        import torch
+        from comfy3d_tpu.models.triposr.model import grid_sample_2d
+        plane = np.random.RandomState(0).randn(7, 9, 4).astype(np.float32)
+        uv = (np.random.RandomState(1).rand(50, 2).astype(np.float32)
+              * 2.4 - 1.2)  # includes out-of-range
+        ref = torch.nn.functional.grid_sample(
+            torch.from_numpy(plane.transpose(2, 0, 1)[None]),
+            torch.from_numpy(uv[None, None]),
+            align_corners=False, mode="bilinear",
+            padding_mode="zeros").numpy()[0, :, 0].T
+        out = grid_sample_2d(jnp.asarray(plane), jnp.asarray(uv))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
