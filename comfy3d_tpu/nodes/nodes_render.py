@@ -1,0 +1,321 @@
+"""Renderer + optimization-algorithm nodes
+(reference nodes.py:1011-1413, 2685-2835)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.gaussian import GaussianSplat
+from ..ops import gs_render, mesh_render
+from .base import register, error_none
+
+
+def _cams_from_poses(orbit_camposes, fovy, width, height):
+    return Camera.from_camposes(orbit_camposes, fovy_deg=fovy,
+                                width=width, height=height)
+
+
+@register
+class Mesh_Orbit_Renderer:
+    """reference nodes.py:1011"""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "render_image_size": ("INT", {"default": 512, "min": 64,
+                                          "max": 4096}),
+            "render_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+            "render_orbit_camera_fovy": ("FLOAT", {"default": 49.1}),
+            "render_background_color_r": ("FLOAT", {"default": 1.0}),
+            "render_background_color_g": ("FLOAT", {"default": 1.0}),
+            "render_background_color_b": ("FLOAT", {"default": 1.0}),
+        }}
+
+    RETURN_TYPES = ("IMAGE", "MASK", "IMAGE", "IMAGE")
+    RETURN_NAMES = ("rendered_mesh_images", "rendered_mesh_masks",
+                    "rendered_mesh_normals", "rendered_mesh_depths")
+    FUNCTION = "render_mesh"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def render_mesh(self, mesh, render_image_size,
+                    render_orbit_camera_poses, render_orbit_camera_fovy,
+                    render_background_color_r=1.0,
+                    render_background_color_g=1.0,
+                    render_background_color_b=1.0):
+        cams = _cams_from_poses(render_orbit_camera_poses,
+                                render_orbit_camera_fovy,
+                                render_image_size, render_image_size)
+        d = mesh.device_arrays()
+        bg = jnp.asarray([render_background_color_r,
+                          render_background_color_g,
+                          render_background_color_b])
+        kw = {}
+        if mesh.vt is not None and mesh.ft is not None \
+                and mesh.albedo is not None:
+            nf = mesh.num_faces
+            kw = dict(vt=jnp.asarray(mesh.vt), ft=jnp.asarray(mesh.ft),
+                      albedo=jnp.asarray(mesh.albedo))
+        elif mesh.vc is not None:
+            kw = dict(vc=d["vc"])
+        face_valid = jnp.arange(d["f"].shape[0]) < mesh.num_faces
+        if "ft" in kw:
+            # face-varying UVs need unpadded faces for index parity
+            out = mesh_render.render_mesh(
+                jnp.asarray(mesh.v), jnp.asarray(mesh.f), cams,
+                vn=jnp.asarray(mesh.vn) if mesh.vn is not None else None,
+                background=bg, **kw)
+        else:
+            out = mesh_render.render_mesh(
+                d["v"], d["f"], cams, face_valid=face_valid,
+                background=bg, **kw)
+        normals = np.asarray(out["normal"]) * 0.5 + 0.5
+        depth = np.asarray(out["depth"])
+        depth_img = np.repeat(depth[..., None], 3, -1)
+        depth_img = depth_img / max(depth_img.max(), 1e-6)
+        return (np.asarray(out["image"]), np.asarray(out["alpha"]),
+                normals, depth_img)
+
+
+@register
+class Gaussian_Splatting_Orbit_Renderer:
+    """reference nodes.py:1100"""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "gs_ply": ("GS_PLY",),
+            "render_image_size": ("INT", {"default": 512, "min": 64,
+                                          "max": 4096}),
+            "render_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+            "render_orbit_camera_fovy": ("FLOAT", {"default": 49.1}),
+            "render_background_color_r": ("FLOAT", {"default": 1.0}),
+            "render_background_color_g": ("FLOAT", {"default": 1.0}),
+            "render_background_color_b": ("FLOAT", {"default": 1.0}),
+        }}
+
+    RETURN_TYPES = ("IMAGE", "MASK")
+    RETURN_NAMES = ("rendered_gs_images", "rendered_gs_masks")
+    FUNCTION = "render_gs"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def render_gs(self, gs_ply, render_image_size,
+                  render_orbit_camera_poses, render_orbit_camera_fovy,
+                  render_background_color_r=1.0,
+                  render_background_color_g=1.0,
+                  render_background_color_b=1.0):
+        cams = _cams_from_poses(render_orbit_camera_poses,
+                                render_orbit_camera_fovy,
+                                render_image_size, render_image_size)
+        out = gs_render.render(
+            gs_ply, cams,
+            background=(render_background_color_r,
+                        render_background_color_g,
+                        render_background_color_b))
+        return (np.asarray(out["image"]), np.asarray(out["alpha"]))
+
+
+@register
+class Gaussian_Splatting_3D:
+    """reference nodes.py:1165 — multi-view 3DGS optimization."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "reference_images": ("IMAGE",),
+                "reference_masks": ("MASK",),
+                "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+                "reference_orbit_camera_fovy": ("FLOAT",
+                                                {"default": 49.1}),
+                "training_iterations": ("INT", {"default": 3000,
+                                                "min": 1}),
+                "batch_size": ("INT", {"default": 3, "min": 1}),
+                "ms_ssim_loss_weight": ("FLOAT", {"default": 0.2}),
+                "alpha_loss_weight": ("FLOAT", {"default": 3.0}),
+                "offset_loss_weight": ("FLOAT", {"default": 0.0}),
+                "offset_opacity_loss_weight": ("FLOAT", {"default": 0.0}),
+                "invert_background_probability": ("FLOAT",
+                                                  {"default": 0.5}),
+            },
+            "optional": {
+                "points_cloud_to_initialize_gaussian": ("POINTCLOUD",),
+                "ply_to_initialize_gaussian": ("GS_PLY",),
+                "mesh_to_initialize_gaussian": ("MESH",),
+            },
+        }
+
+    RETURN_TYPES = ("GS_PLY",)
+    RETURN_NAMES = ("gs_ply",)
+    FUNCTION = "run_gs"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_gs(self, reference_images, reference_masks,
+               reference_orbit_camera_poses, reference_orbit_camera_fovy,
+               training_iterations=3000, batch_size=3,
+               ms_ssim_loss_weight=0.2, alpha_loss_weight=3.0,
+               offset_loss_weight=0.0, offset_opacity_loss_weight=0.0,
+               invert_background_probability=0.5,
+               points_cloud_to_initialize_gaussian=None,
+               ply_to_initialize_gaussian=None,
+               mesh_to_initialize_gaussian=None):
+        from ..algorithms import gs_trainer
+
+        imgs = np.asarray(reference_images, np.float32)
+        masks = np.asarray(reference_masks, np.float32)
+        if len(imgs) != len(reference_orbit_camera_poses):
+            return error_none(
+                self.__class__.__name__,
+                f"number of reference images {len(imgs)} != number of "
+                f"camera poses {len(reference_orbit_camera_poses)}")
+        h = imgs.shape[1]
+        cams = _cams_from_poses(reference_orbit_camera_poses,
+                                reference_orbit_camera_fovy,
+                                imgs.shape[2], h)
+        if ply_to_initialize_gaussian is not None:
+            splat = ply_to_initialize_gaussian
+        elif points_cloud_to_initialize_gaussian is not None:
+            pc = points_cloud_to_initialize_gaussian
+            splat = GaussianSplat.from_points(
+                pc["points"], colors=pc.get("colors"), capacity=65536)
+        elif mesh_to_initialize_gaussian is not None:
+            pts, cols = mesh_to_initialize_gaussian.convert_to_pointcloud()
+            splat = GaussianSplat.from_points(pts, colors=cols,
+                                              capacity=65536)
+        else:
+            splat = GaussianSplat.random(jax.random.PRNGKey(0), 5000,
+                                         radius=0.5)
+            import dataclasses as _dc
+            pad = 65536 - splat.num_capacity
+            if pad > 0:
+                splat = GaussianSplat.from_points(
+                    np.asarray(splat.xyz), capacity=65536)
+        cfg = gs_trainer.GSTrainConfig(
+            iterations=training_iterations, batch_size=batch_size,
+            lambda_ssim=ms_ssim_loss_weight,
+            lambda_alpha=alpha_loss_weight,
+            invert_bg_prob=invert_background_probability)
+        out = gs_trainer.train(splat, cams, imgs, masks, cfg)
+        return (out,)
+
+
+@register
+class Instant_NGP:
+    """reference nodes.py:2685 — NeRF fit + optional mesh extraction."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "reference_images": ("IMAGE",),
+            "reference_masks": ("MASK",),
+            "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+            "reference_orbit_camera_fovy": ("FLOAT", {"default": 49.1}),
+            "training_iterations": ("INT", {"default": 512, "min": 1}),
+            "batch_size": ("INT", {"default": 4096, "min": 1}),
+            "marching_cube_grid_resolution": ("INT", {"default": 128}),
+            "marching_cube_threshold": ("FLOAT", {"default": 10.0}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_instant_ngp"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_instant_ngp(self, reference_images, reference_masks,
+                        reference_orbit_camera_poses,
+                        reference_orbit_camera_fovy,
+                        training_iterations=512, batch_size=4096,
+                        marching_cube_grid_resolution=128,
+                        marching_cube_threshold=10.0):
+        from ..algorithms import ngp as ngp_mod
+        from ..ops import tetra
+
+        imgs = np.asarray(reference_images, np.float32)
+        masks = np.asarray(reference_masks, np.float32)
+        cams = _cams_from_poses(reference_orbit_camera_poses,
+                                reference_orbit_camera_fovy,
+                                imgs.shape[2], imgs.shape[1])
+        cfg = ngp_mod.NGPConfig(iterations=training_iterations,
+                                ray_batch=batch_size)
+        params, occ = ngp_mod.fit(cams, imgs, masks, cfg)
+        grid = ngp_mod.density_grid(params, cfg,
+                                    res=marching_cube_grid_resolution)
+        mesh = tetra.extract_isosurface(
+            np.asarray(grid), iso=marching_cube_threshold,
+            bounds=(-cfg.bound, cfg.bound))
+        if mesh.num_vertices == 0:
+            return error_none(self.__class__.__name__,
+                              "empty surface at threshold "
+                              f"{marching_cube_threshold}")
+        # vertex colors from the fitted field
+        field, _ = ngp_mod.make_field(params, cfg)
+        v = jnp.asarray(mesh.v)
+        dirs = -v / jnp.maximum(jnp.linalg.norm(v, axis=-1,
+                                                keepdims=True), 1e-8)
+        _, rgb = field(v, dirs)
+        mesh.vc = np.asarray(jnp.clip(rgb, 0, 1))
+        return (mesh.auto_normal(),)
+
+
+@register
+class FlexiCubes_MVS:
+    """reference nodes.py:2749 — multi-view depth+mask(+normal) → mesh."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "reference_depths": ("IMAGE",),
+                "reference_masks": ("MASK",),
+                "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+                "reference_orbit_camera_fovy": ("FLOAT",
+                                                {"default": 49.1}),
+                "training_iterations": ("INT", {"default": 300}),
+                "batch_size": ("INT", {"default": 2}),
+                "voxel_grids_resolution": ("INT", {"default": 64}),
+                "depth_loss_weight": ("FLOAT", {"default": 10.0}),
+                "normal_loss_weight": ("FLOAT", {"default": 0.2}),
+                "sdf_regularizer_weight": ("FLOAT", {"default": 0.1}),
+            },
+            "optional": {
+                "reference_normals": ("IMAGE",),
+            },
+        }
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_flexicubes"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_flexicubes(self, reference_depths, reference_masks,
+                       reference_orbit_camera_poses,
+                       reference_orbit_camera_fovy,
+                       training_iterations=300, batch_size=2,
+                       voxel_grids_resolution=64,
+                       depth_loss_weight=10.0, normal_loss_weight=0.2,
+                       sdf_regularizer_weight=0.1,
+                       reference_normals=None):
+        from ..algorithms import sdf_fit
+
+        depths = np.asarray(reference_depths, np.float32)
+        if depths.ndim == 4:
+            depths = depths[..., 0]
+        masks = np.asarray(reference_masks, np.float32)
+        cams = _cams_from_poses(reference_orbit_camera_poses,
+                                reference_orbit_camera_fovy,
+                                masks.shape[2], masks.shape[1])
+        cfg = sdf_fit.SDFFitConfig(
+            resolution=voxel_grids_resolution,
+            iterations=training_iterations, batch_size=batch_size,
+            lambda_depth=depth_loss_weight,
+            lambda_normal=normal_loss_weight,
+            lambda_sign=sdf_regularizer_weight)
+        mesh = sdf_fit.fit(
+            cams, masks, ref_depths=depths,
+            ref_normals=(np.asarray(reference_normals, np.float32)
+                         if reference_normals is not None else None),
+            cfg=cfg)
+        return (mesh,)

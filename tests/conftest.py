@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402  (after env setup)
 
+# The image's axon sitecustomize registers the TPU backend in a way that
+# overrides the JAX_PLATFORMS env var; the config update below is the
+# reliable way to force the 8-virtual-device CPU mesh for tests.
+jax.config.update("jax_platforms", "cpu")
+
 # Numeric tests compare against float64-ish references; keep MXU-emulating
 # bf16 matmul defaults out of the unit-test path.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,108 @@
+"""Sharding-policy tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from comfy3d_tpu.parallel import (apply_tp_sharding, data_sharding,
+                                  make_mesh, tp_spec_for_path)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh()
+
+
+class TestMesh:
+    def test_default_shape(self, mesh):
+        assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+        assert mesh.shape["tp"] == 4
+
+    def test_data_sharding_splits_batch(self, mesh):
+        x = jnp.ones((8, 16))
+        xs = jax.device_put(x, data_sharding(mesh))
+        # leading axis split over dp → each shard holds 8/dp rows
+        shard = xs.addressable_shards[0].data
+        assert shard.shape == (8 // mesh.shape["dp"], 16)
+
+
+class TestTPSpecs:
+    def test_column_parallel(self):
+        assert tp_spec_for_path("backbone/blocks_0/attn1/to_q/kernel", 2) \
+            == P(None, "tp")
+        assert tp_spec_for_path("vit/block_3/attn/query/kernel", 2) \
+            == P(None, "tp")
+        assert tp_spec_for_path("backbone/blocks_1/ff/net_0/proj/kernel",
+                                2) == P(None, "tp")
+
+    def test_row_parallel(self):
+        assert tp_spec_for_path("backbone/blocks_0/attn1/to_out_0/kernel",
+                                2) == P("tp", None)
+        assert tp_spec_for_path("vit/block_0/attn/out/kernel", 2) \
+            == P("tp", None)
+        assert tp_spec_for_path("backbone/blocks_1/ff/net_2/kernel", 2) \
+            == P("tp", None)
+
+    def test_replicated_elsewhere(self):
+        assert tp_spec_for_path("decoder/layer_0/kernel", 2) == P()
+        assert tp_spec_for_path("backbone/blocks_0/norm1/scale", 1) == P()
+        assert tp_spec_for_path("triplane_tokens", 4) == P()
+
+    def test_apply_with_divisibility_fallback(self, mesh):
+        params = {
+            "attn1": {"to_q": {"kernel": jnp.ones((16, 8))}},   # 8 % 4 == 0
+            "odd": {"to_q": {"kernel": jnp.ones((16, 6))}},     # 6 % 4 != 0
+        }
+        out = apply_tp_sharding(params, mesh)
+        sharded = out["attn1"]["to_q"]["kernel"]
+        repl = out["odd"]["to_q"]["kernel"]
+        assert len(sharded.sharding.device_set) >= mesh.shape["tp"]
+        assert repl.sharding.is_fully_replicated
+
+
+class TestShardedExecution:
+    def test_tp_matmul_produces_same_result(self, mesh):
+        """A dp-batched, tp-sharded MLP must match the single-device
+        result (GSPMD inserts the collectives)."""
+        key = jax.random.PRNGKey(0)
+        w1 = jax.random.normal(key, (16, 32))
+        w2 = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+        x = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+        ref = np.asarray(jnp.maximum(x @ w1, 0) @ w2)
+
+        params = {"a": {"to_q": {"kernel": w1}},
+                  "b": {"to_out_0": {"kernel": w2}}}
+        params = apply_tp_sharding(params, mesh)
+        xs = jax.device_put(x, data_sharding(mesh))
+
+        @jax.jit
+        def f(p, x):
+            return jnp.maximum(x @ p["a"]["to_q"]["kernel"], 0) \
+                @ p["b"]["to_out_0"]["kernel"]
+
+        out = np.asarray(f(params, xs))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestGraftEntry:
+    def test_entry_jits(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import importlib
+        graft = importlib.import_module("__graft_entry__")
+        # use a shrunken config through the public helper? entry() is the
+        # full model — just trace it abstractly (no execution) to verify
+        # jittability without a 150s compile.
+        fn, args = graft.entry()
+        jax.eval_shape(fn, *args)
+
+    def test_dryrun_multichip(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import importlib
+        graft = importlib.import_module("__graft_entry__")
+        graft.dryrun_multichip(8)
