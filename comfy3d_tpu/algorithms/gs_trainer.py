@@ -72,6 +72,7 @@ class GSTrainConfig:
     # renderer
     max_per_tile: int = 512
     chunk: int = 16
+    backend: str = "auto"
 
 
 def exponential_lr(step, lr_init, lr_final, delay_mult, max_steps):
@@ -170,11 +171,13 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
         intr = cameras.intrinsics[view_idx]
         campos = cameras.campos[view_idx]
         colors = splat.colors_toward(campos)
+        backend = (gs_render.default_backend() if cfg.backend == "auto"
+                   else cfg.backend)
         out = gs_render.render_arrays(
             splat.xyz, splat.scale, splat.rotation, splat.opacity, colors,
             splat.alive, w2c, intr, width, height, background=bg,
             max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
-            means2d_offset=vs_off)
+            means2d_offset=vs_off, backend=backend)
         return out
 
     def loss_fn(params, vs_off, alive, view_idx, bgs):

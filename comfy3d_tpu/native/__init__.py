@@ -1,0 +1,157 @@
+"""ctypes bindings for the native host-side mesh ops (libmesh_ops.so).
+
+The library builds on demand (g++ baked into the image); pure-numpy
+fallbacks keep every call working if compilation is unavailable. See
+mesh_ops.cpp for the reference-parity mapping (Hunyuan inpaint, pymeshlab
+clean, fast-simplification decimate).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libmesh_ops.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
+                           check=True, capture_output=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[native] build failed ({e}); using numpy fallbacks")
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        print(f"[native] load failed ({e}); using numpy fallbacks")
+        _lib = False
+        return _lib
+
+    lib.inpaint_vertex_colors.restype = ctypes.c_int
+    lib.inpaint_vertex_colors.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int]
+    lib.clean_mesh.restype = None
+    lib.clean_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.decimate_mesh.restype = None
+    lib.decimate_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return _lib
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def inpaint_vertex_colors(colors: np.ndarray, mask: np.ndarray,
+                          faces: np.ndarray, max_rounds: int = 256):
+    """Diffuse painted vertex colors into unpainted vertices over mesh
+    adjacency. colors [V, C] float32 (modified copy returned);
+    mask [V] bool (1 = painted). Returns (colors, filled_mask)."""
+    colors = np.ascontiguousarray(colors, np.float32).copy()
+    m = np.ascontiguousarray(mask, np.uint8).copy()
+    faces = np.ascontiguousarray(faces, np.int32)
+    lib = _load()
+    if lib:
+        lib.inpaint_vertex_colors(
+            _fptr(colors), m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            colors.shape[0], colors.shape[1], _iptr(faces), len(faces),
+            max_rounds)
+        return colors, m.astype(bool)
+    # numpy fallback: iterative neighbor averaging
+    v0, v1, v2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    src = np.concatenate([v0, v1, v1, v2, v2, v0])
+    dst = np.concatenate([v1, v0, v2, v1, v0, v2])
+    for _ in range(max_rounds):
+        unpainted = ~m.astype(bool)
+        if not unpainted.any():
+            break
+        ok = m[src].astype(bool) & unpainted[dst]
+        if not ok.any():
+            break
+        acc = np.zeros_like(colors)
+        cnt = np.zeros(colors.shape[0])
+        np.add.at(acc, dst[ok], colors[src[ok]])
+        np.add.at(cnt, dst[ok], 1)
+        fill = cnt > 0
+        colors[fill] = acc[fill] / cnt[fill, None]
+        m[fill] = 1
+    return colors, m.astype(bool)
+
+
+def clean_mesh(verts: np.ndarray, faces: np.ndarray,
+               weld_eps: float = 1e-6, min_component_frac: float = 0.0):
+    """Weld duplicates, drop degenerate/duplicate faces and small
+    components (fraction of the largest). Returns (verts, faces)."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    lib = _load()
+    if lib:
+        ov = np.empty_like(verts)
+        of = np.empty_like(faces)
+        nv = ctypes.c_int32(0)
+        nf = ctypes.c_int32(0)
+        lib.clean_mesh(_fptr(verts), len(verts), _iptr(faces), len(faces),
+                       weld_eps, min_component_frac, _fptr(ov), _iptr(of),
+                       ctypes.byref(nv), ctypes.byref(nf))
+        return ov[:nv.value].copy(), of[:nf.value].copy()
+    # numpy fallback: weld + degenerate removal only
+    keys = np.round(verts / max(weld_eps, 1e-12)).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    order = np.arange(len(inv))
+    first = np.full(len(uniq), len(inv), np.int64)
+    np.minimum.at(first, inv, order)
+    v = verts[first]
+    f = inv[faces]
+    keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    return v.astype(np.float32), f[keep].astype(np.int32)
+
+
+def decimate_mesh(verts: np.ndarray, faces: np.ndarray, target_faces: int):
+    """QEM edge-collapse decimation to ≈target_faces."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    if len(faces) <= target_faces:
+        return verts.copy(), faces.copy()
+    lib = _load()
+    if lib:
+        ov = np.empty_like(verts)
+        of = np.empty_like(faces)
+        nv = ctypes.c_int32(0)
+        nf = ctypes.c_int32(0)
+        lib.decimate_mesh(_fptr(verts), len(verts), _iptr(faces),
+                          len(faces), int(target_faces), _fptr(ov),
+                          _iptr(of), ctypes.byref(nv), ctypes.byref(nf))
+        return ov[:nv.value].copy(), of[:nf.value].copy()
+    # numpy fallback: random face subsample (shape-preserving enough for
+    # previews; real decimation needs the native lib)
+    sel = np.random.RandomState(0).choice(len(faces), target_faces,
+                                          replace=False)
+    f = faces[sel]
+    used, inv = np.unique(f.reshape(-1), return_inverse=True)
+    return verts[used].copy(), inv.reshape(-1, 3).astype(np.int32)

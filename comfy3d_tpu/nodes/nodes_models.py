@@ -93,3 +93,82 @@ class TripoSR:
                   f"{marching_cude_threshold} (random weights produce "
                   "near-uniform density)")
         return (mesh,)
+
+
+@register
+class Load_InstantMesh_Reconstruction_Model:
+    """reference nodes.py:2476"""
+
+    checkpoints_dir = "InstantMesh"
+    default_ckpt_name = "instant_mesh_large.ckpt"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        cls.checkpoints_dir_abs = os.path.join(base.CKPT_ROOT_PATH,
+                                               cls.checkpoints_dir)
+        names = base.get_list_filenames(
+            cls.checkpoints_dir_abs, base.SUPPORTED_CHECKPOINTS_EXTENSIONS)
+        if cls.default_ckpt_name not in names:
+            names = names + [cls.default_ckpt_name]
+        return {"required": {"model_name": (names,)}}
+
+    RETURN_TYPES = ("LRM_MODEL",)
+    RETURN_NAMES = ("lrm_model",)
+    FUNCTION = "load_LRM"
+    CATEGORY = "Comfy3D/Import|Export"
+
+    def load_LRM(self, model_name="instant_mesh_large.ckpt"):
+        from ..models.instantmesh import InstantMeshPipeline
+        ckpt = os.path.join(
+            getattr(self.__class__, "checkpoints_dir_abs",
+                    os.path.join(base.CKPT_ROOT_PATH,
+                                 self.checkpoints_dir)), model_name)
+        if os.path.exists(ckpt):
+            from ..models.instantmesh import convert as im_convert
+            pipe = im_convert.from_pretrained(ckpt)
+        else:
+            print(f"[Load_InstantMesh] checkpoint {ckpt} not found — "
+                  "initializing random weights")
+            pipe = InstantMeshPipeline.init_random()
+        return (pipe,)
+
+
+@register
+class InstantMesh_Reconstruction_Model:
+    """reference nodes.py:2532 — 6 views + orbit poses → textured mesh."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "lrm_model": ("LRM_MODEL",),
+            "multiview_images": ("IMAGE",),
+            "orbit_camera_poses": ("ORBIT_CAMPOSES",),
+            "orbit_camera_fovy": ("FLOAT", {"default": 30.0}),
+            "texture_resolution": ("INT", {"default": 1024}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_LRM"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_LRM(self, lrm_model, multiview_images, orbit_camera_poses,
+                orbit_camera_fovy=30.0, texture_resolution=1024):
+        import jax.image as jimage
+        import jax.numpy as jnp
+        from ..models.instantmesh import orbit_poses_to_input_cameras
+        imgs = np.asarray(multiview_images, np.float32)
+        n = imgs.shape[0]
+        if len(orbit_camera_poses) != n:
+            return error_none(self.__class__.__name__,
+                              f"{n} images != "
+                              f"{len(orbit_camera_poses)} poses")
+        imgs = np.asarray(jimage.resize(
+            jnp.asarray(imgs), (n, 320, 320, 3), "bilinear"))
+        poses = np.asarray(orbit_camera_poses, np.float32)
+        cams = orbit_poses_to_input_cameras(
+            poses[:, 2], poses[:, 1], radius=4.0,
+            fov_deg=orbit_camera_fovy)
+        planes = lrm_model.forward_planes(imgs[None], cams[None])
+        mesh = lrm_model.extract_mesh(planes[0])
+        return (mesh,)

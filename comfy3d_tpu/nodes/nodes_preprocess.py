@@ -314,3 +314,52 @@ class Get_Camposes_From_List_Indexed:
     def pick(self, orbit_camposes, indexes="0"):
         idx = [int(t) for t in str(indexes).replace(",", " ").split()]
         return ([orbit_camposes[i] for i in idx],)
+
+
+@register
+class Fast_Clean_Mesh:
+    """reference nodes.py:618 (pymeshlab clean role → native/)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "weld_epsilon": ("FLOAT", {"default": 1e-6, "min": 0.0}),
+            "min_component_fraction": ("FLOAT", {"default": 0.05,
+                                                 "min": 0.0, "max": 1.0}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("cleaned_mesh",)
+    FUNCTION = "clean"
+    CATEGORY = "Comfy3D/Preprocessor"
+
+    def clean(self, mesh, weld_epsilon=1e-6, min_component_fraction=0.05):
+        from .. import native
+        from ..core.mesh import Mesh
+        v, f = native.clean_mesh(mesh.v, mesh.f, weld_eps=weld_epsilon,
+                                 min_component_frac=min_component_fraction)
+        return (Mesh(v=v, f=f).auto_normal(),)
+
+
+@register
+class Decimate_Mesh:
+    """reference nodes.py:649 (fast-simplification role → native/)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "target_faces_num": ("INT", {"default": 50000, "min": 4}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("decimated_mesh",)
+    FUNCTION = "decimate"
+    CATEGORY = "Comfy3D/Preprocessor"
+
+    def decimate(self, mesh, target_faces_num=50000):
+        from .. import native
+        from ..core.mesh import Mesh
+        v, f = native.decimate_mesh(mesh.v, mesh.f, target_faces_num)
+        return (Mesh(v=v, f=f).auto_normal(),)

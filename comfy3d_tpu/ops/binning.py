@@ -4,22 +4,27 @@ The reference delegates rasterization to two CUDA codebases — the 3DGS tile
 rasterizer (diff-gaussian-rasterization, used at
 `MVs_Algorithms/GaussianSplatting/main_3DGS_renderer.py:840-948`) and
 nvdiffrast (`MVs_Algorithms/DiffRastMesh/diff_mesh_renderer.py:46-49`) — both
-of which are built on the same idea: bin primitives into screen tiles, then
-shade each tile against its (short) primitive list. On TPU we reproduce that
-structure with XLA-friendly static shapes:
+built on the same idea: bin primitives into screen tiles, then shade each
+tile against its (short) primitive list.
 
-  1. per-primitive screen bbox → covered-tile count (capped at a static
-     `max_tiles_per_prim`);
-  2. exclusive cumsum → scatter (tile_key, depth_key, prim_id) pairs into a
-     fixed-capacity pair buffer;
-  3. one lexicographic `jax.lax.sort` over (tile, depth) — this replaces the
-     CUDA radix sort and is the single O(P log P) step;
-  4. `searchsorted` per tile → padded per-tile primitive lists.
+TPU-shaped algorithm (no scatters, one sort — measured against scatter/
+pair-buffer variants on v5e, this is the fast formulation):
 
-Everything downstream (mesh z-test, GS alpha compositing) consumes the
-[num_tiles, max_per_tile] list. The same layout feeds the Pallas per-tile
-shading kernels. PAPERS.md tile-grouping literature (GS-TG) motivates the
-sort-once/share-across-tiles design.
+  1. per-primitive tile footprint (bbox rectangle, capped at a static
+     `max_tiles_per_prim` K) → a dense [N, K] key matrix
+     `key = tile << prim_bits | prim_id`, sentinel 0xFFFFFFFF for unused
+     slots — pure elementwise, no prefix sums, no scatter;
+  2. one single-key unstable u32 sort of the flat [N*K] keys (keys are
+     unique, so stability is irrelevant — and when primitives are
+     pre-sorted front-to-back, ascending prim_id = ascending depth, so
+     each tile's segment comes out depth-ordered for free);
+  3. `searchsorted` on the tile prefix of the sorted keys → per-tile
+     ranges → padded [num_tiles, max_per_tile] gather.
+
+Consumers that need depth order (the 3DGS compositor) sort their N
+primitives by depth once before calling; order-independent consumers (mesh
+z-test) pass any order. PAPERS.md tile-grouping literature (GS-TG)
+motivates the sort-once/share-across-tiles design.
 """
 
 from __future__ import annotations
@@ -40,40 +45,50 @@ class TileBins:
     prim_idx: jnp.ndarray     # [num_tiles, max_per_tile] int32 (clamped)
     valid: jnp.ndarray        # [num_tiles, max_per_tile] bool
     count: jnp.ndarray        # [num_tiles] int32 (pre-truncation count)
-    overflow: jnp.ndarray     # [] bool — any tile or pair-buffer truncation
+    overflow: jnp.ndarray     # [] bool — any footprint/tile truncation
 
 
 def num_tiles(height: int, width: int) -> tuple[int, int]:
     return -(-height // TILE), -(-width // TILE)
 
 
-@partial(jax.jit, static_argnames=("grid_h", "grid_w", "pair_capacity",
-                                   "max_per_tile", "max_tiles_per_prim"))
+@partial(jax.jit, static_argnames=("grid_h", "grid_w", "max_per_tile",
+                                   "max_tiles_per_prim"))
 def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
-                   depth: jnp.ndarray, active: jnp.ndarray,
+                   active: jnp.ndarray,
                    grid_h: int, grid_w: int,
-                   pair_capacity: int, max_per_tile: int,
-                   max_tiles_per_prim: int = 64) -> TileBins:
-    """Bin primitives into screen tiles, depth-sorted within each tile.
+                   max_per_tile: int,
+                   max_tiles_per_prim: int = 16) -> TileBins:
+    """Bin primitives into screen tiles.
 
     Args:
       bbox_min / bbox_max: [N, 2] pixel-space (x, y) bounds per primitive.
-      depth: [N] sort key within a tile (front first).
       active: [N] bool; culled primitives produce no pairs.
       grid_h, grid_w: tile-grid dims (see `num_tiles`).
-      pair_capacity: static size of the expanded (tile, prim) pair buffer.
       max_per_tile: static cap on the shading list per tile.
-      max_tiles_per_prim: static cap on the tile footprint per primitive;
-        primitives covering more tiles are truncated and flagged.
+      max_tiles_per_prim: static cap K on the tile footprint per
+        primitive; primitives covering more tiles are truncated + flagged.
+
+    Within-tile list order is ascending primitive index — pre-sort your
+    primitives if that order matters (see module docstring).
     """
     n = bbox_min.shape[0]
-    t = jnp.int32(TILE)
+    ntiles = grid_h * grid_w
+    prim_bits = max(n - 1, 1).bit_length()
+    tile_bits = ntiles.bit_length()
+    assert prim_bits + tile_bits <= 32, (
+        f"key overflow: {n} prims × {ntiles} tiles needs "
+        f"{prim_bits}+{tile_bits} bits")
 
-    tx0 = jnp.clip(jnp.floor(bbox_min[:, 0] / t), 0, grid_w - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bbox_min[:, 1] / t), 0, grid_h - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(bbox_max[:, 0] / t), 0, grid_w - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bbox_max[:, 1] / t), 0, grid_h - 1).astype(jnp.int32)
-    # fully offscreen primitives
+    t = jnp.int32(TILE)
+    tx0 = jnp.clip(jnp.floor(bbox_min[:, 0] / t), 0, grid_w - 1
+                   ).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bbox_min[:, 1] / t), 0, grid_h - 1
+                   ).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bbox_max[:, 0] / t), 0, grid_w - 1
+                   ).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bbox_max[:, 1] / t), 0, grid_h - 1
+                   ).astype(jnp.int32)
     offscreen = ((bbox_max[:, 0] < 0) | (bbox_max[:, 1] < 0)
                  | (bbox_min[:, 0] >= grid_w * TILE)
                  | (bbox_min[:, 1] >= grid_h * TILE))
@@ -85,54 +100,37 @@ def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
     prim_overflow = active & (footprint > max_tiles_per_prim)
     k = jnp.where(active, jnp.minimum(footprint, max_tiles_per_prim), 0)
 
-    offsets = jnp.cumsum(k) - k                       # exclusive prefix sum
-    total = offsets[-1] + k[-1] if n else jnp.int32(0)
-    buf_overflow = total > pair_capacity
+    # dense [N, K] keys; sentinel for unused slots sorts to the end
+    j = jnp.arange(max_tiles_per_prim, dtype=jnp.int32)[None, :]
+    valid = j < k[:, None]
+    w_safe = jnp.maximum(w, 1)[:, None]
+    tile = (ty0[:, None] + j // w_safe) * grid_w + tx0[:, None] + j % w_safe
+    prim_ids = jnp.arange(n, dtype=jnp.uint32)[:, None]
+    keys = (tile.astype(jnp.uint32) << prim_bits) | prim_ids
+    keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
+    (keys,) = jax.lax.sort((keys.reshape(-1),), num_keys=1,
+                           is_stable=False)
 
-    # scatter pairs: one masked scatter per footprint slot (static loop)
-    pair_tile = jnp.full((pair_capacity,), grid_h * grid_w, jnp.int32)  # sentinel
-    pair_depth = jnp.full((pair_capacity,), jnp.inf, jnp.float32)
-    pair_prim = jnp.zeros((pair_capacity,), jnp.int32)
-    prim_ids = jnp.arange(n, dtype=jnp.int32)
-
-    def body(j, state):
-        p_tile, p_depth, p_prim = state
-        valid = j < k
-        dy = jnp.where(w > 0, j // w, 0)
-        dx = jnp.where(w > 0, j % w, 0)
-        tile = (ty0 + dy) * grid_w + (tx0 + dx)
-        dst = jnp.where(valid, offsets + j, pair_capacity)  # OOB drops
-        p_tile = p_tile.at[dst].set(jnp.where(valid, tile, 0),
-                                    mode="drop")
-        p_depth = p_depth.at[dst].set(
-            jnp.where(valid, depth.astype(jnp.float32), jnp.inf),
-            mode="drop")
-        p_prim = p_prim.at[dst].set(prim_ids, mode="drop")
-        return p_tile, p_depth, p_prim
-
-    pair_tile, pair_depth, pair_prim = jax.lax.fori_loop(
-        0, max_tiles_per_prim, body, (pair_tile, pair_depth, pair_prim))
-
-    # lexicographic sort by (tile, depth) — the radix-sort replacement
-    pair_tile, pair_depth, pair_prim = jax.lax.sort(
-        (pair_tile, pair_depth, pair_prim), num_keys=2)
-
-    # per-tile ranges
-    ntiles = grid_h * grid_w
+    # per-tile ranges via the tile prefix of the sorted keys
+    tile_of = (keys >> prim_bits).astype(jnp.int32)
     tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
+    starts = jnp.searchsorted(tile_of, tile_ids, side="left"
+                              ).astype(jnp.int32)
+    ends = jnp.searchsorted(tile_of, tile_ids, side="right"
+                            ).astype(jnp.int32)
     counts = ends - starts
 
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gather_idx = starts[:, None] + slot[None, :]
-    valid = slot[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, pair_capacity - 1)
-    prim_idx = pair_prim[gather_idx]
+    gather_idx = jnp.clip(starts[:, None] + slot[None, :], 0,
+                          keys.shape[0] - 1)
+    out_valid = slot[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
+    prim_idx = (keys[gather_idx]
+                & jnp.uint32((1 << prim_bits) - 1)).astype(jnp.int32)
+    prim_idx = jnp.where(out_valid, prim_idx, 0)
 
     tile_overflow = jnp.any(counts > max_per_tile)
-    overflow = (jnp.any(prim_overflow) | buf_overflow | tile_overflow)
-    return TileBins(prim_idx=prim_idx, valid=valid, count=counts,
+    overflow = jnp.any(prim_overflow) | tile_overflow
+    return TileBins(prim_idx=prim_idx, valid=out_valid, count=counts,
                     overflow=overflow)
 
 

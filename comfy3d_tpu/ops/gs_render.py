@@ -97,6 +97,17 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 
 
+def default_backend() -> str:
+    """pallas on real TPU hardware, xla elsewhere (CPU tests use the
+    interpreter only when explicitly requested)."""
+    try:
+        import jax
+        plat = jax.devices()[0].platform
+    except Exception:
+        return "xla"
+    return "pallas" if plat in ("tpu", "axon") else "xla"
+
+
 def _chunk_alphas(centers, means2d, conics, opacities, valid):
     """α for one chunk: centers [T,P,2]; per-chunk gathers [T,Mc,...].
     Returns α [T,P,Mc]."""
@@ -268,12 +279,14 @@ tile_composite.defvjp(_composite_fwd, _composite_bwd)
 # Public renderer
 # ------------------------------------------------------------------ #
 @partial(jax.jit, static_argnames=("width", "height", "max_per_tile",
-                                   "pair_capacity", "chunk"))
+                                   "max_tiles_per_prim", "chunk",
+                                   "backend", "interpret"))
 def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
                   w2c, intrinsics, width: int, height: int,
                   background=None, max_per_tile: int = 512,
-                  pair_capacity: int | None = None, chunk: int = 16,
-                  means2d_offset=None):
+                  max_tiles_per_prim: int = 16, chunk: int = 16,
+                  means2d_offset=None, backend: str = "xla",
+                  interpret: bool = False):
     """Render raw gaussian arrays for one camera. Fully differentiable.
 
     colors: [N, C] per-gaussian channel vector (precomputed — SH eval or
@@ -285,8 +298,6 @@ def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
     overflow flag).
     """
     n = xyz.shape[0]
-    if pair_capacity is None:
-        pair_capacity = max(8 * n, 2048)
     grid_h, grid_w = binning.num_tiles(height, width)
 
     means2d, depth, conic, radii, visible = project_gaussians(
@@ -295,19 +306,34 @@ def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
         means2d = means2d + means2d_offset
     active = visible & alive & (opacity > ALPHA_MIN)
 
-    bb_min = means2d - radii[:, None]
-    bb_max = means2d + radii[:, None]
+    # global front-to-back depth sort of the N gaussians: makes per-tile
+    # order equal emission order, collapsing the pair sort to a cheap
+    # single-key sort (see binning.bin_primitives depth_sorted)
+    order = jax.lax.stop_gradient(
+        jnp.argsort(jnp.where(active, depth, jnp.inf)))
+    s_means2d = means2d[order]
+    s_conic = conic[order]
+    s_opacity = opacity[order]
+    s_active = active[order]
+    s_radii = jax.lax.stop_gradient(radii)[order]
+
+    bb_min = s_means2d - s_radii[:, None]
+    bb_max = s_means2d + s_radii[:, None]
     bins = binning.bin_primitives(
         jax.lax.stop_gradient(bb_min), jax.lax.stop_gradient(bb_max),
-        jax.lax.stop_gradient(depth), active,
-        grid_h, grid_w, pair_capacity=pair_capacity,
-        max_per_tile=max_per_tile)
+        s_active, grid_h, grid_w, max_per_tile=max_per_tile,
+        max_tiles_per_prim=max_tiles_per_prim)
 
     # channels: [rgb..., depth] composited together
-    chans = jnp.concatenate([colors, depth[:, None]], -1)
-    acc, T_final = tile_composite(means2d, conic, opacity, chans,
-                                  bins.prim_idx, bins.valid,
-                                  grid_h, grid_w, chunk)
+    chans = jnp.concatenate([colors, depth[:, None]], -1)[order]
+    if backend == "pallas":
+        acc, T_final = tile_composite_pallas(
+            s_means2d, s_conic, s_opacity, chans, bins.prim_idx,
+            bins.valid, bins.count, grid_h, grid_w, interpret)
+    else:
+        acc, T_final = tile_composite(s_means2d, s_conic, s_opacity, chans,
+                                      bins.prim_idx, bins.valid,
+                                      grid_h, grid_w, chunk)
 
     to_img = lambda a: binning.tiles_to_image(a, grid_h, grid_w,
                                               height, width)
@@ -327,6 +353,7 @@ def render(splat: GaussianSplat, camera: Camera, background=(1.0, 1.0, 1.0),
            **kw):
     """Render a GaussianSplat for one or a batch of cameras (vmapped —
     the view axis shards under a device mesh)."""
+    kw.setdefault("backend", default_backend())
     w2c = camera.w2c
     intr = camera.intrinsics
 
@@ -340,3 +367,89 @@ def render(splat: GaussianSplat, camera: Camera, background=(1.0, 1.0, 1.0),
     if camera.batch_shape:
         return jax.vmap(one)(w2c, intr, camera.campos)
     return one(w2c, intr, camera.campos)
+
+
+# ------------------------------------------------------------------ #
+# Pallas backend (ops/pallas/gs_tile.py): VMEM-resident per-tile loop
+# with dynamic early-exit — the production TPU path.
+# ------------------------------------------------------------------ #
+def _build_tile_data(means2d, conics, opacities, colors, prim_idx,
+                     prim_valid):
+    """Gather per-tile gaussian columns [T, D, M] (D padded to 8·k).
+
+    Packs all per-gaussian channels into one [N, D] matrix first so the
+    expansion is a single contiguous row gather (4 separate gathers cost
+    ~4x the HBM walks)."""
+    d_raw = 2 + 3 + 1 + colors.shape[-1]
+    pad = (-d_raw) % 8
+    packed = jnp.concatenate(
+        [means2d, conics, opacities[:, None], colors]
+        + ([jnp.zeros((means2d.shape[0], pad), means2d.dtype)] if pad
+           else []), axis=-1)                            # [N, D]
+    gathered = packed[prim_idx]                          # [T, M, D]
+    # dead slots → zero opacity (column 5)
+    gathered = gathered.at[..., 5].multiply(prim_valid)
+    return gathered.transpose(0, 2, 1)                   # [T, D, M]
+
+
+def _tile_origins(grid_h, grid_w):
+    ty, tx = jnp.meshgrid(jnp.arange(grid_h), jnp.arange(grid_w),
+                          indexing="ij")
+    return jnp.stack([tx.reshape(-1) * TILE, ty.reshape(-1) * TILE],
+                     -1).astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def tile_composite_pallas(means2d, conics, opacities, colors, prim_idx,
+                          prim_valid, counts, grid_h, grid_w, interpret):
+    out, _ = _pallas_fwd_impl(means2d, conics, opacities, colors, prim_idx,
+                              prim_valid, counts, grid_h, grid_w, interpret)
+    return out
+
+
+def _pallas_fwd_impl(means2d, conics, opacities, colors, prim_idx,
+                     prim_valid, counts, grid_h, grid_w, interpret):
+    from .pallas import gs_tile
+
+    nchan = colors.shape[-1]
+    tile_data = _build_tile_data(means2d, conics, opacities, colors,
+                                 prim_idx, prim_valid)
+    counts = jnp.minimum(counts, prim_idx.shape[1]).astype(jnp.int32)
+    acc, trans = gs_tile.composite_tiles_fwd(tile_data, counts, grid_w,
+                                             nchan, interpret=interpret)
+    acc_out = acc.transpose(0, 2, 1)                     # [T, NPIX, C]
+    t_out = trans[:, 0, :]                               # [T, NPIX]
+    return (acc_out, t_out), (tile_data, counts, trans)
+
+
+def _pallas_vjp_fwd(means2d, conics, opacities, colors, prim_idx,
+                    prim_valid, counts, grid_h, grid_w, interpret):
+    out, saved = _pallas_fwd_impl(means2d, conics, opacities, colors,
+                                  prim_idx, prim_valid, counts, grid_h,
+                                  grid_w, interpret)
+    res = saved + (prim_idx, prim_valid, means2d.shape[0],
+                   colors.shape[-1])
+    return out, res
+
+
+def _pallas_vjp_bwd(grid_h, grid_w, interpret, res, cotangents):
+    from .pallas import gs_tile
+
+    tile_data, counts, trans, prim_idx, prim_valid, n, nchan = res
+    g_acc, g_t = cotangents
+    gdata = gs_tile.composite_tiles_bwd(
+        tile_data, counts, grid_w, trans,
+        g_acc.transpose(0, 2, 1), g_t[:, None, :], nchan,
+        interpret=interpret)                             # [T, D, M]
+    g_rows = gdata.transpose(0, 2, 1)                    # [T, M, D]
+    flat_idx = prim_idx.reshape(-1)
+    flat = g_rows.reshape(-1, g_rows.shape[-1])
+    # dead slots produced zero rows (opacity was zeroed) → safe to add
+    gm = jnp.zeros((n, 2)).at[flat_idx].add(flat[:, 0:2])
+    gc = jnp.zeros((n, 3)).at[flat_idx].add(flat[:, 2:5])
+    go = jnp.zeros((n,)).at[flat_idx].add(flat[:, 5])
+    gcol = jnp.zeros((n, nchan)).at[flat_idx].add(flat[:, 6:6 + nchan])
+    return gm, gc, go, gcol, None, None, None
+
+
+tile_composite_pallas.defvjp(_pallas_vjp_fwd, _pallas_vjp_bwd)

@@ -24,14 +24,15 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, k: int = 3,
     idx [Q, k]). `valid` masks dead entries (padded capacities)."""
     q2 = (query * query).sum(-1, keepdims=True)          # [Q, 1]
     n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
     pad = (-n) % chunk
     if pad:
+        # zero-pad (NOT inf: inf rows turn the distance expansion into
+        # inf−inf = NaN) and mask the pad rows out
         points = jnp.concatenate(
-            [points, jnp.full((pad, points.shape[1]), jnp.inf)], 0)
-        if valid is not None:
-            valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-    if valid is None:
-        valid = jnp.ones((points.shape[0],), bool)
+            [points, jnp.zeros((pad, points.shape[1]))], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     nchunks = points.shape[0] // chunk
     pts = points.reshape(nchunks, chunk, -1)
     val = valid.reshape(nchunks, chunk)

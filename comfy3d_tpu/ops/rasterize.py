@@ -177,25 +177,23 @@ def rasterize_bruteforce(screen_xy, w_view, faces, face_valid,
 # Path B: tile-binned (production path)
 # ------------------------------------------------------------------ #
 @partial(jax.jit, static_argnames=("height", "width", "max_per_tile",
-                                   "pair_capacity", "chunk"))
+                                   "max_tiles_per_prim", "chunk"))
 def rasterize_binned(screen_xy, w_view, faces, face_valid,
                      height: int, width: int,
                      max_per_tile: int = 256,
-                     pair_capacity: int | None = None,
+                     max_tiles_per_prim: int = 64,
                      chunk: int = 8) -> RasterOut:
     nf = faces.shape[0]
     grid_h, grid_w = binning.num_tiles(height, width)
-    if pair_capacity is None:
-        pair_capacity = max(4 * nf, 1024)
 
     p0, p1, p2, w0, w1, w2 = _face_corners(screen_xy, w_view, faces)
     active = face_valid & (w0 > 1e-8) & (w1 > 1e-8) & (w2 > 1e-8)
     bb_min = jnp.minimum(jnp.minimum(p0, p1), p2)
     bb_max = jnp.maximum(jnp.maximum(p0, p1), p2)
-    zmin = jnp.minimum(jnp.minimum(w0, w1), w2)
+    # z-test is order-independent: no depth pre-sort needed
     bins = binning.bin_primitives(
-        bb_min, bb_max, zmin, active, grid_h, grid_w,
-        pair_capacity=pair_capacity, max_per_tile=max_per_tile)
+        bb_min, bb_max, active, grid_h, grid_w,
+        max_per_tile=max_per_tile, max_tiles_per_prim=max_tiles_per_prim)
 
     centers = binning.tile_pixel_centers(grid_h, grid_w)  # [T, 256, 2]
     npix = TILE * TILE

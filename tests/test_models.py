@@ -171,3 +171,72 @@ class TestGridSample:
             padding_mode="zeros").numpy()[0, :, 0].T
         out = grid_sample_2d(jnp.asarray(plane), jnp.asarray(uv))
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def tiny_im_cfg():
+    from comfy3d_tpu.models.instantmesh import InstantMeshConfig
+    return InstantMeshConfig(
+        encoder_feat_dim=48, transformer_dim=64, transformer_layers=2,
+        transformer_heads=4, triplane_low_res=8, triplane_dim=8,
+        grid_res=12, decoder_hidden=16, decoder_layers=2,
+        vit_layers=2, vit_heads=2, vit_mlp=96, patch=8)
+
+
+class TestInstantMesh:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        from comfy3d_tpu.models.instantmesh import InstantMeshPipeline
+        return InstantMeshPipeline.init_random(
+            jax.random.PRNGKey(0), cfg=tiny_im_cfg(), image_size=32)
+
+    def test_forward_planes_shape(self, pipe):
+        imgs = np.random.RandomState(0).rand(1, 3, 32, 32, 3).astype(
+            np.float32)
+        cams = np.random.RandomState(1).rand(1, 3, 16).astype(np.float32)
+        planes = pipe.forward_planes(imgs, cams)
+        assert planes.shape == (1, 3, 16, 16, 8)
+        assert bool(jnp.isfinite(planes).all())
+
+    def test_camera_conditioning_changes_output(self, pipe):
+        """adaLN heads are zero-init (reference dino.py:322-323), so a
+        fresh model ignores cameras; perturb one adaLN kernel to verify
+        the conditioning path is actually wired through."""
+        from comfy3d_tpu.models.instantmesh import InstantMeshPipeline
+        imgs = np.random.RandomState(0).rand(1, 2, 32, 32, 3).astype(
+            np.float32)
+        c1 = np.zeros((1, 2, 16), np.float32)
+        c2 = np.ones((1, 2, 16), np.float32)
+        params = jax.tree.map(lambda a: a, pipe.params)
+        blk = params["encoder"]["block_0"]["adaln"]
+        blk["kernel"] = jnp.ones_like(blk["kernel"]) * 0.05
+        hot = InstantMeshPipeline(params, pipe.cfg)
+        p1 = hot.forward_planes(imgs, c1)
+        p2 = hot.forward_planes(imgs, c2)
+        assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+    def test_extract_mesh_runs(self, pipe):
+        imgs = np.random.RandomState(0).rand(1, 2, 32, 32, 3).astype(
+            np.float32)
+        cams = np.random.RandomState(1).rand(1, 2, 16).astype(np.float32)
+        planes = pipe.forward_planes(imgs, cams)
+        mesh = pipe.extract_mesh(planes[0], resolution=9,
+                                 max_tris=100_000)
+        assert mesh is not None  # random net may produce any surface
+
+    def test_input_cameras_format(self):
+        from comfy3d_tpu.models.instantmesh import (
+            orbit_poses_to_input_cameras)
+        cams = orbit_poses_to_input_cameras([0.0, 90.0], [20.0, -10.0],
+                                            radius=4.0, fov_deg=30.0)
+        assert cams.shape == (2, 16)
+        # extrinsic part encodes a camera at distance 4
+        c2w = cams[0, :12].reshape(3, 4)
+        np.testing.assert_allclose(np.linalg.norm(c2w[:, 3]), 4.0,
+                                   rtol=1e-5)
+        # rotation columns orthonormal
+        R = c2w[:, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+        # intrinsics: fx=fy=0.5/tan(15°)
+        f = 0.5 / np.tan(np.deg2rad(15.0))
+        np.testing.assert_allclose(cams[0, 12:], [f, f, 0.5, 0.5],
+                                   rtol=1e-5)
