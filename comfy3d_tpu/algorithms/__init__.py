@@ -2,7 +2,7 @@
 
 import importlib as _importlib
 
-_SUBMODULES = ("gs_trainer", "diff_mesh", "ngp", "sdf_fit")
+_SUBMODULES = ("gs_trainer", "diff_mesh", "ngp", "sdf_fit", "gs_to_mesh")
 
 
 def __getattr__(name):

@@ -6,8 +6,8 @@ packages (`nodes.py:19-130`) are a documented load-time hot spot.
 
 import importlib as _importlib
 
-_SUBMODULES = ("common", "convert", "triposr", "zero123plus", "instantmesh",
-               "lgm", "mvdream")
+_SUBMODULES = ("common", "convert", "diffusion", "triposr", "zero123plus",
+               "instantmesh", "lgm", "mvdream")
 
 
 def __getattr__(name):

@@ -1,0 +1,216 @@
+"""diffusers-checkpoint → flax converter rules for the UNet and VAE.
+
+Maps the standard `UNet2DConditionModel` / `AutoencoderKL` state-dict
+layouts (which every reference diffusion family ships:
+Zero123Plus/Wonder3D/Era3D/MVDream checkpoints are diffusers-format) onto
+`models.diffusion.unet/vae` flax trees. Handles both conv (SD1.x) and
+linear (SD2.x, use_linear_projection) spatial-transformer projections.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+
+from ..convert import t_conv, t_linear
+
+
+def _norm(path, val, kind):
+    return path + ("/scale" if kind == "weight" else "/bias"), val
+
+
+def _conv(path, val, kind):
+    if kind == "weight":
+        return path + "/kernel", t_conv(val)
+    return path + "/bias", val
+
+
+def _linear(path, val, kind):
+    if kind == "weight":
+        if val.ndim == 4:          # conv1x1 used as linear (SD1.x proj)
+            val = val[:, :, 0, 0]
+        return path + "/kernel", t_linear(val)
+    return path + "/bias", val
+
+
+_RESNET_SUB = {
+    "norm1": ("norm1", _norm), "conv1": ("conv1", _conv),
+    "time_emb_proj": ("time_emb_proj", _linear),
+    "norm2": ("norm2", _norm), "conv2": ("conv2", _conv),
+    "conv_shortcut": ("conv_shortcut", _conv),
+}
+
+_ATTN_SUB = {
+    "norm": ("norm", _norm),
+    "proj_in": ("proj_in", _linear),
+    "proj_out": ("proj_out", _linear),
+}
+
+_TBLOCK_SUB = {
+    "norm1": ("norm1", _norm), "norm2": ("norm2", _norm),
+    "norm3": ("norm3", _norm),
+    "attn1.to_q": ("attn1/to_q", _linear),
+    "attn1.to_k": ("attn1/to_k", _linear),
+    "attn1.to_v": ("attn1/to_v", _linear),
+    "attn1.to_out.0": ("attn1/to_out_0", _linear),
+    "attn2.to_q": ("attn2/to_q", _linear),
+    "attn2.to_k": ("attn2/to_k", _linear),
+    "attn2.to_v": ("attn2/to_v", _linear),
+    "attn2.to_out.0": ("attn2/to_out_0", _linear),
+    "ff.net.0.proj": ("ff_net_0/proj", _linear),
+    "ff.net.2": ("ff_net_2", _linear),
+}
+
+
+def _map_sub(table, rest, base, val):
+    for tk, (fk, fn) in table.items():
+        for kind in ("weight", "bias"):
+            if rest == f"{tk}.{kind}":
+                return fn(f"{base}{fk}", val, kind)
+    return None
+
+
+def unet_rules(prefix: str = "") -> Callable:
+    def rules(key: str, val: np.ndarray):
+        if prefix:
+            if not key.startswith(prefix):
+                return None
+            key = key[len(prefix):]
+        simple = {
+            "conv_in.weight": ("conv_in/kernel", t_conv),
+            "conv_in.bias": ("conv_in/bias", None),
+            "conv_out.weight": ("conv_out/kernel", t_conv),
+            "conv_out.bias": ("conv_out/bias", None),
+            "conv_norm_out.weight": ("norm_out/scale", None),
+            "conv_norm_out.bias": ("norm_out/bias", None),
+            "time_embedding.linear_1.weight": ("time_emb_1/kernel",
+                                               t_linear),
+            "time_embedding.linear_1.bias": ("time_emb_1/bias", None),
+            "time_embedding.linear_2.weight": ("time_emb_2/kernel",
+                                               t_linear),
+            "time_embedding.linear_2.bias": ("time_emb_2/bias", None),
+        }
+        if key in simple:
+            path, fn = simple[key]
+            return path, (fn(val) if fn else val)
+
+        m = re.match(r"(down|up)_blocks\.(\d+)\.(resnets|attentions"
+                     r"|downsamplers|upsamplers)\.(\d+)\.(.*)", key)
+        if m:
+            side, bi, kind, j, rest = m.groups()
+            if kind == "resnets":
+                return _map_sub(_RESNET_SUB, rest,
+                                f"{side}_{bi}_res_{j}/", val)
+            if kind in ("downsamplers", "upsamplers"):
+                tag = "downsample" if kind == "downsamplers" else "upsample"
+                if rest == "conv.weight":
+                    return f"{side}_{bi}_{tag}/conv/kernel", t_conv(val)
+                if rest == "conv.bias":
+                    return f"{side}_{bi}_{tag}/conv/bias", val
+                return None
+            base = f"{side}_{bi}_attn_{j}/"
+            out = _map_sub(_ATTN_SUB, rest, base, val)
+            if out:
+                return out
+            tb = re.match(r"transformer_blocks\.(\d+)\.(.*)", rest)
+            if tb:
+                k, sub = tb.groups()
+                return _map_sub(_TBLOCK_SUB, sub,
+                                f"{base}blocks_{k}/", val)
+            return None
+
+        m = re.match(r"mid_block\.(resnets|attentions)\.(\d+)\.(.*)", key)
+        if m:
+            kind, j, rest = m.groups()
+            if kind == "resnets":
+                return _map_sub(_RESNET_SUB, rest, f"mid_res_{j}/", val)
+            base = "mid_attn/"
+            out = _map_sub(_ATTN_SUB, rest, base, val)
+            if out:
+                return out
+            tb = re.match(r"transformer_blocks\.(\d+)\.(.*)", rest)
+            if tb:
+                k, sub = tb.groups()
+                return _map_sub(_TBLOCK_SUB, sub, f"{base}blocks_{k}/",
+                                val)
+        return None
+
+    return rules
+
+
+_VAE_ATTN_SUB = {
+    "group_norm": ("group_norm", _norm),
+    "to_q": ("to_q", _linear), "to_k": ("to_k", _linear),
+    "to_v": ("to_v", _linear), "to_out.0": ("to_out_0", _linear),
+    # older checkpoints name these query/key/value/proj_attn
+    "query": ("to_q", _linear), "key": ("to_k", _linear),
+    "value": ("to_v", _linear), "proj_attn": ("to_out_0", _linear),
+}
+
+_VAE_RESNET_SUB = {
+    "norm1": ("norm1", _norm), "conv1": ("conv1", _conv),
+    "norm2": ("norm2", _norm), "conv2": ("conv2", _conv),
+    "conv_shortcut": ("conv_shortcut", _conv),
+}
+
+
+def vae_rules(prefix: str = "") -> Callable:
+    def rules(key: str, val: np.ndarray):
+        if prefix:
+            if not key.startswith(prefix):
+                return None
+            key = key[len(prefix):]
+        # quant convs live at the ends of my encoder/decoder
+        simple = {
+            "quant_conv.weight": ("encoder/quant_conv/kernel", t_conv),
+            "quant_conv.bias": ("encoder/quant_conv/bias", None),
+            "post_quant_conv.weight": ("decoder/post_quant_conv/kernel",
+                                       t_conv),
+            "post_quant_conv.bias": ("decoder/post_quant_conv/bias", None),
+        }
+        if key in simple:
+            path, fn = simple[key]
+            return path, (fn(val) if fn else val)
+        for side in ("encoder", "decoder"):
+            if not key.startswith(side + "."):
+                continue
+            rest = key[len(side) + 1:]
+            fixed = {
+                "conv_in.weight": (f"{side}/conv_in/kernel", t_conv),
+                "conv_in.bias": (f"{side}/conv_in/bias", None),
+                "conv_out.weight": (f"{side}/conv_out/kernel", t_conv),
+                "conv_out.bias": (f"{side}/conv_out/bias", None),
+                "conv_norm_out.weight": (f"{side}/norm_out/scale", None),
+                "conv_norm_out.bias": (f"{side}/norm_out/bias", None),
+            }
+            if rest in fixed:
+                path, fn = fixed[rest]
+                return path, (fn(val) if fn else val)
+            m = re.match(r"(down|up)_blocks\.(\d+)\.(resnets"
+                         r"|downsamplers|upsamplers)\.(\d+)\.(.*)", rest)
+            if m:
+                ud, bi, kind, j, sub = m.groups()
+                if kind == "resnets":
+                    return _map_sub(_VAE_RESNET_SUB, sub,
+                                    f"{side}/{ud}_{bi}_res_{j}/", val)
+                tag = ("downsample" if kind == "downsamplers"
+                       else "upsample")
+                if sub == "conv.weight":
+                    return f"{side}/{ud}_{bi}_{tag}/kernel", t_conv(val)
+                if sub == "conv.bias":
+                    return f"{side}/{ud}_{bi}_{tag}/bias", val
+                return None
+            m = re.match(r"mid_block\.(resnets|attentions)\.(\d+)\.(.*)",
+                         rest)
+            if m:
+                kind, j, sub = m.groups()
+                if kind == "resnets":
+                    return _map_sub(_VAE_RESNET_SUB, sub,
+                                    f"{side}/mid_res_{j}/", val)
+                return _map_sub(_VAE_ATTN_SUB, sub, f"{side}/mid_attn/",
+                                val)
+        return None
+
+    return rules

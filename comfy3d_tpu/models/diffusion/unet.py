@@ -1,0 +1,289 @@
+"""Stable-Diffusion-class conditional UNet in flax.
+
+The denoiser backbone behind the reference's multi-view diffusion families
+(Zero123Plus `Gen_3D_Modules/Zero123Plus/pipeline.py`, Wonder3D, Era3D,
+MVDream/ImageDream in LGM & CRM): a UNet2DConditionModel with
+(CrossAttn)Down/Mid/Up blocks, GroupNorm-SiLU-Conv resnets, spatial
+transformers with self+cross attention, and sinusoidal time embeddings.
+Layer names follow the diffusers checkpoint layout so `convert.py` rules
+map weights 1:1.
+
+Multi-view conditioning hook: every self-attention can append externally
+recorded K/V ("reference attention", the mechanism Zero123Plus uses to
+condition on the input image — pipeline.py RefOnlyNoisedUNet): call with
+`ref_mode="write"` to capture each self-attn's hidden states into the
+returned dict, then `ref_mode="read"` + `ref_hidden` to concatenate them
+as extra keys/values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64     # per-head dim (SD2.x convention)
+    norm_groups: int = 32
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D")
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D")
+
+    @classmethod
+    def sd15(cls) -> "UNetConfig":
+        return cls(cross_attention_dim=768, attention_head_dim=-8)
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        return cls(cross_attention_dim=1024, attention_head_dim=64)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, diffusers `Timesteps` (flip_sin_to_cos=True,
+    downscale_freq_shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, name="norm1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    name="conv1")(nn.silu(h))
+        temb_proj = nn.Dense(self.out_channels,
+                             name="time_emb_proj")(nn.silu(temb))
+        h = h + temb_proj[:, None, None, :]
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, name="norm2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                    name="conv2")(nn.silu(h))
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1),
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """diffusers Attention (to_q/to_k/to_v/to_out.0) with the reference-
+    attention K/V append hook on self-attention."""
+    query_dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, extra_kv=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        if extra_kv is not None:
+            ctx = jnp.concatenate([ctx, extra_kv], axis=1)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        b, nq = q.shape[0], q.shape[1]
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.heads, self.dim_head)
+        k = k.reshape(b, nk, self.heads, self.dim_head)
+        v = v.reshape(b, nk, self.heads, self.dim_head)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(b, nq, inner)
+        return nn.Dense(self.query_dim, name="to_out_0")(out)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self, x, context, ref_mode=None, ref_hidden=None):
+        written = None
+        h = nn.LayerNorm(name="norm1")(x)
+        if ref_mode == "write":
+            written = h
+        extra = ref_hidden if ref_mode == "read" else None
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               name="attn1")(h, extra_kv=extra)
+        h = nn.LayerNorm(name="norm2")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               self.context_dim, name="attn2")(
+            h, context=context)
+        h = nn.LayerNorm(name="norm3")(x)
+        from ..common import GEGLU
+        h = GEGLU(self.dim * 4, name="ff_net_0")(h)
+        x = x + nn.Dense(self.dim, name="ff_net_2")(h)
+        return x, written
+
+
+class SpatialTransformer(nn.Module):
+    """diffusers Transformer2DModel: GN → 1x1-equivalent linear proj →
+    blocks → proj out (+residual)."""
+    channels: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    depth: int = 1
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context, ref_mode=None, ref_hidden=None):
+        b, h, w, c = x.shape
+        residual = x
+        hid = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name="norm")(x)
+        hid = hid.reshape(b, h * w, c)
+        hid = nn.Dense(self.channels, name="proj_in")(hid)
+        written = []
+        for i in range(self.depth):
+            rh = ref_hidden[i] if ref_hidden is not None else None
+            hid, wr = TransformerBlock(
+                self.channels, self.heads, self.dim_head,
+                self.context_dim, name=f"blocks_{i}")(
+                hid, context, ref_mode=ref_mode, ref_hidden=rh)
+            written.append(wr)
+        hid = nn.Dense(self.channels, name="proj_out")(hid)
+        return hid.reshape(b, h, w, c) + residual, written
+
+
+class Downsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig = UNetConfig()
+
+    def _heads(self, channels: int):
+        hd = self.cfg.attention_head_dim
+        if hd < 0:              # negative = fixed head count (SD1.5 style)
+            return -hd, channels // -hd
+        return channels // hd, hd
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 ref_mode=None, ref_hidden=None,
+                 class_emb=None):
+        """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
+        [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
+        written ref-hidden dict when ref_mode == 'write')."""
+        c = self.cfg
+        written = {}
+        ref_i = [0]
+
+        def next_ref():
+            key = f"sa_{ref_i[0]}"
+            ref_i[0] += 1
+            return key
+
+        temb = timestep_embedding(timesteps, c.block_out_channels[0])
+        temb = nn.Dense(c.block_out_channels[0] * 4, name="time_emb_1")(
+            temb)
+        temb = nn.Dense(c.block_out_channels[0] * 4, name="time_emb_2")(
+            nn.silu(temb))
+        if class_emb is not None:
+            temb = temb + class_emb
+
+        h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in")(sample)
+        skips = [h]
+
+        # down
+        for bi, btype in enumerate(c.down_block_types):
+            out_ch = c.block_out_channels[bi]
+            for li in range(c.layers_per_block):
+                h = ResnetBlock(out_ch, c.norm_groups,
+                                name=f"down_{bi}_res_{li}")(h, temb)
+                if btype == "CrossAttnDownBlock2D":
+                    heads, dim_head = self._heads(out_ch)
+                    key = next_ref()
+                    rh = (ref_hidden or {}).get(key)
+                    h, wr = SpatialTransformer(
+                        out_ch, heads, dim_head, c.cross_attention_dim,
+                        norm_groups=c.norm_groups,
+                        name=f"down_{bi}_attn_{li}")(
+                        h, encoder_hidden_states, ref_mode=ref_mode,
+                        ref_hidden=rh)
+                    if ref_mode == "write":
+                        written[key] = wr
+                skips.append(h)
+            if bi < len(c.down_block_types) - 1:
+                h = Downsample(out_ch, name=f"down_{bi}_downsample")(h)
+                skips.append(h)
+
+        # mid
+        mid_ch = c.block_out_channels[-1]
+        h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_0")(h, temb)
+        heads, dim_head = self._heads(mid_ch)
+        key = next_ref()
+        rh = (ref_hidden or {}).get(key)
+        h, wr = SpatialTransformer(
+            mid_ch, heads, dim_head, c.cross_attention_dim,
+            norm_groups=c.norm_groups, name="mid_attn")(
+            h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
+        if ref_mode == "write":
+            written[key] = wr
+        h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_1")(h, temb)
+
+        # up
+        rev_channels = list(reversed(c.block_out_channels))
+        for bi, btype in enumerate(c.up_block_types):
+            out_ch = rev_channels[bi]
+            for li in range(c.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(out_ch, c.norm_groups,
+                                name=f"up_{bi}_res_{li}")(h, temb)
+                if btype == "CrossAttnUpBlock2D":
+                    heads, dim_head = self._heads(out_ch)
+                    key = next_ref()
+                    rh = (ref_hidden or {}).get(key)
+                    h, wr = SpatialTransformer(
+                        out_ch, heads, dim_head, c.cross_attention_dim,
+                        norm_groups=c.norm_groups,
+                        name=f"up_{bi}_attn_{li}")(
+                        h, encoder_hidden_states, ref_mode=ref_mode,
+                        ref_hidden=rh)
+                    if ref_mode == "write":
+                        written[key] = wr
+            if bi < len(c.up_block_types) - 1:
+                h = Upsample(out_ch, name=f"up_{bi}_upsample")(h)
+
+        h = nn.GroupNorm(c.norm_groups, epsilon=1e-5, name="norm_out")(h)
+        h = nn.Conv(c.out_channels, (3, 3), padding=1,
+                    name="conv_out")(nn.silu(h))
+        return h, written

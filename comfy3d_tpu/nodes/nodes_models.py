@@ -172,3 +172,58 @@ class InstantMesh_Reconstruction_Model:
         planes = lrm_model.forward_planes(imgs[None], cams[None])
         mesh = lrm_model.extract_mesh(planes[0])
         return (mesh,)
+
+
+@register
+class Zero123Plus_Diffusion_Model:
+    """reference nodes.py:2414 — single image → 3x2 grid of 6 views."""
+
+    checkpoints_dir = "Zero123Plus"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "zero123plus_diffusers_path": ("STRING",
+                                           {"default": "zero123plus"}),
+            "seed": ("INT", {"default": 42}),
+            "diffusion_steps": ("INT", {"default": 28, "min": 1}),
+            "guidance_scale": ("FLOAT", {"default": 4.0}),
+        }}
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("multiview_images",)
+    FUNCTION = "run_model"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    _cached = None
+
+    def run_model(self, reference_image, reference_mask,
+                  zero123plus_diffusers_path="zero123plus", seed=42,
+                  diffusion_steps=28, guidance_scale=4.0):
+        from ..core import image as img_utils
+        from ..models.zero123plus import Zero123PlusPipeline
+        import jax.numpy as jnp
+
+        ckpt_dir = os.path.join(base.CKPT_ROOT_PATH,
+                                zero123plus_diffusers_path)
+        cls = self.__class__
+        if cls._cached is None:
+            if os.path.isdir(ckpt_dir):
+                from ..models.zero123plus import convert as z_convert
+                cls._cached = z_convert.from_pretrained(ckpt_dir)
+            else:
+                print(f"[Zero123Plus] {ckpt_dir} not found — random "
+                      "weights (grid structure only)")
+                cls._cached = Zero123PlusPipeline.init_random()
+        pipe = cls._cached
+
+        img = np.asarray(img_utils.composite_background(
+            jnp.asarray(reference_image), jnp.asarray(reference_mask),
+            (1.0, 1.0, 1.0)))[0]
+        grid = pipe(img, num_inference_steps=diffusion_steps,
+                    guidance_scale=guidance_scale, seed=seed)
+        # 3 rows x 2 cols of 320² views → [6, 320, 320, 3]
+        views = img_utils.split_image_grid(np.asarray(grid), 3, 2)
+        return (views,)

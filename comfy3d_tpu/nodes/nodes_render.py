@@ -319,3 +319,73 @@ class FlexiCubes_MVS:
                          if reference_normals is not None else None),
             cfg=cfg)
         return (mesh,)
+
+
+@register
+class Convert_3DGS_to_Mesh_with_NeRF_and_Marching_Cubes:
+    """reference nodes.py:1873 (LGM GS→mesh converter role)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "gs_ply": ("GS_PLY",),
+            "gs_config": (["Big", "Default", "Small"],
+                          {"default": "Default"}),
+            "training_nerf_iterations": ("INT", {"default": 384,
+                                                 "min": 32}),
+            "marching_cube_grids_resolution": ("INT", {"default": 192}),
+            "marching_cube_threshold": ("FLOAT", {"default": 10.0}),
+            "texture_resolution": ("INT", {"default": 1024}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "convert_gs_to_mesh"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def convert_gs_to_mesh(self, gs_ply, gs_config="Default",
+                           training_nerf_iterations=384,
+                           marching_cube_grids_resolution=192,
+                           marching_cube_threshold=10.0,
+                           texture_resolution=1024):
+        from ..algorithms import gs_to_mesh
+        render_size = {"Big": 512, "Default": 256, "Small": 128}.get(
+            gs_config, 256)
+        cfg = gs_to_mesh.GSToMeshConfig(
+            render_size=render_size,
+            ngp_iters=training_nerf_iterations,
+            grid_resolution=marching_cube_grids_resolution,
+            density_threshold=marching_cube_threshold,
+            texture_size=texture_resolution)
+        return (gs_to_mesh.convert(gs_ply, cfg),)
+
+
+@register
+class Convert_Vertex_Color_To_Texture:
+    """reference nodes.py:3137 — unwrap + bake vertex colors."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "texture_resolution": ("INT", {"default": 1024}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "bake"
+    CATEGORY = "Comfy3D/Preprocessor"
+
+    def bake(self, mesh, texture_resolution=1024):
+        from ..ops import texture as texture_ops
+        if mesh.vc is None:
+            return error_none(self.__class__.__name__,
+                              "mesh has no vertex colors")
+        vt, ft = texture_ops.box_unwrap(mesh.v, mesh.f)
+        albedo = texture_ops.bake_vertex_colors(
+            mesh.v, mesh.f, vt, ft, mesh.vc,
+            texture_size=texture_resolution)
+        import dataclasses as _dc
+        out = _dc.replace(mesh, vt=vt, ft=ft,
+                          albedo=np.asarray(jnp.clip(albedo, 0, 1)))
+        return (out,)

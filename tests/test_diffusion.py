@@ -1,0 +1,215 @@
+"""Diffusion stack tests: UNet, VAE, schedulers, Zero123Plus pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from comfy3d_tpu.models.diffusion import (DDIM, AutoencoderKL,
+                                          EulerAncestral, SchedulerConfig,
+                                          UNet2DCondition, UNetConfig,
+                                          VAEConfig)
+
+
+def tiny_unet_cfg():
+    return UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                      cross_attention_dim=16, attention_head_dim=4,
+                      norm_groups=4,
+                      down_block_types=("CrossAttnDownBlock2D",
+                                        "DownBlock2D"),
+                      up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"))
+
+
+def tiny_vae_cfg():
+    return VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     norm_groups=4)
+
+
+class TestUNet:
+    @pytest.fixture(scope="class")
+    def unet(self):
+        cfg = tiny_unet_cfg()
+        model = UNet2DCondition(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,)),
+                            jnp.zeros((1, 7, 16)))["params"]
+        return model, params
+
+    def test_output_shape(self, unet):
+        model, params = unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 16))
+        out, _ = model.apply({"params": params}, x,
+                             jnp.array([10.0, 500.0]), ctx)
+        assert out.shape == (2, 16, 16, 4)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_timestep_changes_output(self, unet):
+        model, params = unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+        ctx = jnp.zeros((1, 7, 16))
+        o1, _ = model.apply({"params": params}, x, jnp.array([10.0]), ctx)
+        o2, _ = model.apply({"params": params}, x, jnp.array([900.0]), ctx)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_reference_attention_roundtrip(self, unet):
+        """write mode records self-attn states; read mode consumes them
+        and changes the output vs no-ref."""
+        model, params = unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+        ref_x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+        t = jnp.array([100.0])
+        _, ref = model.apply({"params": params}, ref_x, t, ctx,
+                             ref_mode="write")
+        assert len(ref) > 0
+        out_plain, _ = model.apply({"params": params}, x, t, ctx)
+        out_ref, _ = model.apply({"params": params}, x, t, ctx,
+                                 ref_mode="read", ref_hidden=ref)
+        assert not np.allclose(np.asarray(out_plain), np.asarray(out_ref))
+
+    def test_context_changes_output(self, unet):
+        model, params = unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+        t = jnp.array([100.0])
+        c1 = jnp.zeros((1, 7, 16))
+        c2 = jnp.ones((1, 7, 16))
+        o1, _ = model.apply({"params": params}, x, t, c1)
+        o2, _ = model.apply({"params": params}, x, t, c2)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        cfg = tiny_vae_cfg()
+        vae = AutoencoderKL(cfg)
+        params = vae.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) \
+            * 2 - 1
+        lat = vae.apply({"params": params}, x,
+                        method=AutoencoderKL.encode)
+        assert lat.shape == (1, 16, 16, 4)   # /2 per downsample
+        out = vae.apply({"params": params}, lat,
+                        method=AutoencoderKL.decode)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestSchedulers:
+    def test_ddim_perfect_eps_recovers_x0(self):
+        """With a model that always predicts the true eps, DDIM must walk
+        a noised sample back to x0."""
+        cfg = SchedulerConfig()
+        sched = DDIM(cfg, num_steps=20)
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.uniform(key, (1, 8, 8, 4)) * 2 - 1
+        eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        sample = sched.add_noise(x0, eps, 0)
+        for i in range(20):
+            # perfect model: reconstruct the eps implied by sample & x0
+            t = sched.timesteps[i]
+            a = sched.alphas[t]
+            implied = (sample - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+            sample = sched.step(implied, i, sample)
+        np.testing.assert_allclose(np.asarray(sample), np.asarray(x0),
+                                   atol=1e-3)
+
+    def test_euler_sigmas_monotonic(self):
+        sched = EulerAncestral(SchedulerConfig(
+            timestep_spacing="trailing"), num_steps=28)
+        s = np.asarray(sched.sigmas)
+        assert (np.diff(s) < 1e-9).all()
+        assert s[-1] == 0.0
+        assert len(sched.timesteps) == 28
+
+    def test_euler_deterministic_step_reduces_noise(self):
+        sched = EulerAncestral(SchedulerConfig(), num_steps=10)
+        x0 = jnp.zeros((1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+        sample = sched.add_noise(x0, noise, 0)
+        # perfect epsilon prediction → step moves toward x0
+        for i in range(10):
+            sigma = sched.sigmas[i]
+            eps = (sample - x0) / jnp.maximum(sigma, 1e-12)
+            sample = sched.step(eps, i, sample)   # no key: deterministic
+        np.testing.assert_allclose(np.asarray(sample), 0.0, atol=1e-3)
+
+    def test_trailing_spacing_ends_at_last_timestep(self):
+        from comfy3d_tpu.models.diffusion.schedulers import make_timesteps
+        ts = make_timesteps(SchedulerConfig(timestep_spacing="trailing"),
+                            4)
+        assert ts[0] == 999
+        assert ts[-1] > 0
+
+
+class TestZero123Plus:
+    def test_tiny_pipeline_smoke(self):
+        from comfy3d_tpu.models.zero123plus import (Zero123PlusConfig,
+                                                    Zero123PlusPipeline)
+        cfg = Zero123PlusConfig(
+            height=48, width=32, cond_size=32, prompt_tokens=7,
+            prompt_dim=16, unet=tiny_unet_cfg(), vae=tiny_vae_cfg())
+        pipe = Zero123PlusPipeline.init_random(cfg=cfg)
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        out = pipe(img, num_inference_steps=2, guidance_scale=2.0)
+        assert out.shape == (48, 32, 3)
+        arr = np.asarray(out)
+        assert np.isfinite(arr).all()
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+class TestDiffusersConversion:
+    def test_unet_rules_cover_torch_layout(self):
+        """Build the diffusers key set for the tiny config by hand and
+        check every key converts to an existing flax param path."""
+        from comfy3d_tpu.models.diffusion import convert as dconv
+        cfg = tiny_unet_cfg()
+        model = UNet2DCondition(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,)),
+                            jnp.zeros((1, 7, 16)))["params"]
+
+        def flat(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    out.update(flat(v, p))
+                else:
+                    out[p] = v
+            return out
+
+        fparams = flat(params)
+        rules = dconv.unet_rules()
+        torch_keys = [
+            "conv_in.weight", "conv_out.bias",
+            "time_embedding.linear_1.weight",
+            "down_blocks.0.resnets.0.norm1.weight",
+            "down_blocks.0.resnets.0.time_emb_proj.weight",
+            "down_blocks.0.attentions.0.proj_in.weight",
+            "down_blocks.0.attentions.0.transformer_blocks.0."
+            "attn1.to_q.weight",
+            "down_blocks.0.attentions.0.transformer_blocks.0."
+            "ff.net.0.proj.weight",
+            "down_blocks.0.downsamplers.0.conv.weight",
+            "mid_block.resnets.0.conv1.weight",
+            "mid_block.attentions.0.transformer_blocks.0."
+            "attn2.to_k.weight",
+            "up_blocks.1.attentions.0.proj_out.weight",
+            "up_blocks.0.resnets.1.conv_shortcut.weight",
+        ]
+        for tk in torch_keys:
+            if tk.endswith("weight"):
+                shape = (4, 4, 1, 1) if "conv" in tk and "proj" not in tk \
+                    and "time_emb" not in tk else (4, 4)
+                val = np.zeros((4, 4, 3, 3), np.float32) \
+                    if ("conv" in tk and "norm" not in tk
+                        and "time_emb" not in tk
+                        and "proj" not in tk) else \
+                    np.zeros((4,), np.float32) if "norm" in tk else \
+                    np.zeros((4, 4), np.float32)
+            out = rules(tk, val)
+            assert out is not None, tk
+            path = out[0]
+            assert path in fparams, (tk, path)

@@ -1,0 +1,121 @@
+"""Texture pipeline tests: box unwrap, UV rasterization, baking,
+GS→mesh conversion smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comfy3d_tpu.ops import texture as T
+from tests.test_algorithms import icosphere
+
+
+class TestBoxUnwrap:
+    def test_valid_uvs(self):
+        mesh = icosphere(subdiv=2)
+        vt, ft = T.box_unwrap(mesh.v, mesh.f)
+        assert ft.shape == mesh.f.shape
+        assert vt.min() >= 0.0 and vt.max() <= 1.0
+        assert ft.min() >= 0 and ft.max() < len(vt)
+
+    def test_charts_disjoint(self):
+        """The 6 charts occupy distinct grid cells; triangles never span
+        a cell boundary."""
+        mesh = icosphere(subdiv=1)
+        vt, ft = T.box_unwrap(mesh.v, mesh.f)
+        cell = (np.floor(vt[:, 0] * 3).astype(int),
+                np.floor(vt[:, 1] * 2).astype(int))
+        cells = np.stack(cell, -1)
+        per_face = cells[ft]
+        assert (per_face == per_face[:, :1]).all()
+
+
+class TestUVBake:
+    def quad(self):
+        v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        vt = np.array([[0.05, 0.05], [0.95, 0.05], [0.95, 0.95],
+                       [0.05, 0.95]], np.float32)
+        return v, f, vt, f.copy()
+
+    def test_rasterize_uv_coverage(self):
+        v, f, vt, ft = self.quad()
+        rast = T.rasterize_uv(jnp.asarray(vt), jnp.asarray(ft), 64,
+                              method="bruteforce")
+        cov = float(rast.mask.mean())
+        assert 0.7 < cov < 0.95  # ~81% of the texture covered
+
+    def test_bake_vertex_colors_gradient(self):
+        v, f, vt, ft = self.quad()
+        colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]],
+                          np.float32)
+        tex = np.asarray(T.bake_vertex_colors(v, f, vt, ft, colors,
+                                              texture_size=64,
+                                              method="bruteforce"))
+        assert tex.shape == (64, 64, 3)
+        # v-up storage: texel near (u≈0.05, v≈0.05) = row ~3 = vertex 0 red
+        assert tex[3, 3, 0] > 0.8
+        # dilation filled the border
+        assert tex.min() >= 0.0 and np.isfinite(tex).all()
+
+    def test_bake_color_fn(self):
+        v, f, vt, ft = self.quad()
+
+        def color_fn(pts):
+            return jnp.stack([pts[:, 0] * 0.5 + 0.5,
+                              pts[:, 1] * 0.5 + 0.5,
+                              jnp.zeros_like(pts[:, 0])], -1)
+
+        tex = np.asarray(T.bake_color_fn(v, f, vt, ft, color_fn,
+                                         texture_size=64,
+                                         method="bruteforce"))
+        # red channel grows along u (x), green along v (y)
+        assert tex[32, 60, 0] > tex[32, 4, 0] + 0.3
+        assert tex[60, 32, 1] > tex[4, 32, 1] + 0.3
+
+    def test_roundtrip_through_renderer(self):
+        """Bake vertex colors → render the textured mesh → colors match
+        the original vertex-color render."""
+        from comfy3d_tpu.core.camera import Camera
+        from comfy3d_tpu.ops import mesh_render
+        mesh = icosphere(subdiv=2)
+        vc = (mesh.v / np.abs(mesh.v).max() + 1) / 2
+        vt, ft = T.box_unwrap(mesh.v, mesh.f)
+        albedo = T.bake_vertex_colors(mesh.v, mesh.f, vt, ft, vc,
+                                      texture_size=256,
+                                      method="bruteforce")
+        cam = Camera.from_orbit(20.0, 40.0, 2.0, width=48, height=48)
+        ref = mesh_render.render_mesh(jnp.asarray(mesh.v),
+                                      jnp.asarray(mesh.f), cam,
+                                      vc=jnp.asarray(vc),
+                                      method="bruteforce")
+        tex = mesh_render.render_mesh(jnp.asarray(mesh.v),
+                                      jnp.asarray(mesh.f), cam,
+                                      vt=jnp.asarray(vt),
+                                      ft=jnp.asarray(ft),
+                                      albedo=jnp.asarray(albedo),
+                                      method="bruteforce")
+        m = np.asarray(ref["alpha"]) > 0
+        diff = np.abs(np.asarray(ref["image"]) - np.asarray(tex["image"]))
+        assert diff[m].mean() < 0.08, diff[m].mean()
+
+
+class TestGSToMesh:
+    def test_convert_smoke(self):
+        from comfy3d_tpu.algorithms import gs_to_mesh
+        from comfy3d_tpu.core.gaussian import GaussianSplat
+        import dataclasses
+        splat = GaussianSplat.from_points(
+            np.random.RandomState(0).randn(256, 3).astype(np.float32) * 0.15,
+            colors=np.random.RandomState(1).rand(256, 3),
+            initial_scale=0.08)
+        splat = dataclasses.replace(
+            splat, opacity_raw=jnp.full_like(splat.opacity_raw, 2.0))
+        cfg = gs_to_mesh.GSToMeshConfig(
+            n_views=6, render_size=48, ngp_iters=48, grid_resolution=33,
+            density_threshold=2.0, texture_size=64, decimate_target=5000,
+            bake_texture=True)
+        mesh = gs_to_mesh.convert(splat, cfg)
+        assert mesh.num_faces > 0
+        assert mesh.albedo is not None
+        assert mesh.vt is not None
