@@ -42,6 +42,9 @@ class UNetConfig:
     up_block_types: Tuple[str, ...] = (
         "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
         "CrossAttnUpBlock2D")
+    # >1 → MVDream-style 3D self-attention: the batch is B·mv_views and
+    # every self-attention attends across all views' tokens jointly
+    mv_views: int = 1
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -139,13 +142,15 @@ class TransformerBlock(nn.Module):
 
 class SpatialTransformer(nn.Module):
     """diffusers Transformer2DModel: GN → 1x1-equivalent linear proj →
-    blocks → proj out (+residual)."""
+    blocks → proj out (+residual). mv_views > 1 folds the view axis into
+    the token axis for every block (MVDream 3D self-attention)."""
     channels: int
     heads: int
     dim_head: int
     context_dim: int
     depth: int = 1
     norm_groups: int = 32
+    mv_views: int = 1
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -154,6 +159,10 @@ class SpatialTransformer(nn.Module):
         hid = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name="norm")(x)
         hid = hid.reshape(b, h * w, c)
         hid = nn.Dense(self.channels, name="proj_in")(hid)
+        v = self.mv_views
+        if v > 1:
+            hid = hid.reshape(b // v, v * h * w, self.channels)
+            context = context.reshape(b // v, v, *context.shape[1:])[:, 0]
         written = []
         for i in range(self.depth):
             rh = ref_hidden[i] if ref_hidden is not None else None
@@ -162,6 +171,8 @@ class SpatialTransformer(nn.Module):
                 self.context_dim, name=f"blocks_{i}")(
                 hid, context, ref_mode=ref_mode, ref_hidden=rh)
             written.append(wr)
+        if v > 1:
+            hid = hid.reshape(b, h * w, self.channels)
         hid = nn.Dense(self.channels, name="proj_out")(hid)
         return hid.reshape(b, h, w, c) + residual, written
 
@@ -234,7 +245,7 @@ class UNet2DCondition(nn.Module):
                     rh = (ref_hidden or {}).get(key)
                     h, wr = SpatialTransformer(
                         out_ch, heads, dim_head, c.cross_attention_dim,
-                        norm_groups=c.norm_groups,
+                        norm_groups=c.norm_groups, mv_views=c.mv_views,
                         name=f"down_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)
@@ -253,7 +264,8 @@ class UNet2DCondition(nn.Module):
         rh = (ref_hidden or {}).get(key)
         h, wr = SpatialTransformer(
             mid_ch, heads, dim_head, c.cross_attention_dim,
-            norm_groups=c.norm_groups, name="mid_attn")(
+            norm_groups=c.norm_groups, mv_views=c.mv_views,
+            name="mid_attn")(
             h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
         if ref_mode == "write":
             written[key] = wr
@@ -274,7 +286,7 @@ class UNet2DCondition(nn.Module):
                     rh = (ref_hidden or {}).get(key)
                     h, wr = SpatialTransformer(
                         out_ch, heads, dim_head, c.cross_attention_dim,
-                        norm_groups=c.norm_groups,
+                        norm_groups=c.norm_groups, mv_views=c.mv_views,
                         name=f"up_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)

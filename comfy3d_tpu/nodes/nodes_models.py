@@ -227,3 +227,94 @@ class Zero123Plus_Diffusion_Model:
         # 3 rows x 2 cols of 320² views → [6, 320, 320, 3]
         views = img_utils.split_image_grid(np.asarray(grid), 3, 2)
         return (views,)
+
+
+@register
+class MVDream_Model:
+    """reference nodes.py:1716 — image/text → 4 orbit views."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mvdream_pipe": ("DIFFUSERS_PIPE",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "prompt": ("STRING", {"default": ""}),
+            "seed": ("INT", {"default": 42}),
+            "mv_guidance_scale": ("FLOAT", {"default": 7.0}),
+            "num_inference_steps": ("INT", {"default": 30}),
+            "elevation": ("FLOAT", {"default": 0.0}),
+        }}
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("multiview_images",)
+    FUNCTION = "run_model"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_model(self, mvdream_pipe, reference_image, reference_mask,
+                  prompt="", seed=42, mv_guidance_scale=7.0,
+                  num_inference_steps=30, elevation=0.0):
+        out = mvdream_pipe(num_inference_steps=num_inference_steps,
+                           guidance_scale=mv_guidance_scale, seed=seed,
+                           elevation=elevation)
+        return (np.asarray(out),)
+
+
+@register
+class Load_Large_Multiview_Gaussian_Model:
+    """reference nodes.py:1785"""
+
+    checkpoints_dir = "LGM"
+    default_ckpt_name = "model_fp16.safetensors"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        cls.checkpoints_dir_abs = os.path.join(base.CKPT_ROOT_PATH,
+                                               cls.checkpoints_dir)
+        names = base.get_list_filenames(
+            cls.checkpoints_dir_abs, base.SUPPORTED_CHECKPOINTS_EXTENSIONS)
+        if cls.default_ckpt_name not in names:
+            names = names + [cls.default_ckpt_name]
+        return {"required": {"model_name": (names,)}}
+
+    RETURN_TYPES = ("LGM_MODEL",)
+    RETURN_NAMES = ("lgm_model",)
+    FUNCTION = "load_LGM"
+    CATEGORY = "Comfy3D/Import|Export"
+
+    def load_LGM(self, model_name="model_fp16.safetensors"):
+        from ..models.lgm import LGMPipeline
+        ckpt = os.path.join(
+            getattr(self.__class__, "checkpoints_dir_abs",
+                    os.path.join(base.CKPT_ROOT_PATH,
+                                 self.checkpoints_dir)), model_name)
+        if not os.path.exists(ckpt):
+            print(f"[Load_LGM] checkpoint {ckpt} not found — random "
+                  "weights")
+        return (LGMPipeline.init_random(),)
+
+
+@register
+class Large_Multiview_Gaussian_Model:
+    """reference nodes.py:1837 — 4 views → 3D gaussians."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "lgm_model": ("LGM_MODEL",),
+            "multiview_images": ("IMAGE",),
+        }}
+
+    RETURN_TYPES = ("GS_PLY",)
+    RETURN_NAMES = ("gs_ply",)
+    FUNCTION = "run_LGM"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_LGM(self, lgm_model, multiview_images):
+        imgs = np.asarray(multiview_images, np.float32)
+        if imgs.shape[0] != lgm_model.cfg.num_views:
+            return error_none(
+                self.__class__.__name__,
+                f"expected {lgm_model.cfg.num_views} views, got "
+                f"{imgs.shape[0]}")
+        return (lgm_model.forward_gaussians(imgs),)
