@@ -111,22 +111,27 @@ def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
     (keys,) = jax.lax.sort((keys.reshape(-1),), num_keys=1,
                            is_stable=False)
 
-    # per-tile ranges via the tile prefix of the sorted keys
-    tile_of = (keys >> prim_bits).astype(jnp.int32)
-    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_of, tile_ids, side="left"
+    # per-tile ranges: search the raw sorted keys at tile boundaries
+    # (tile occupies the high bits, so tile t's segment spans
+    # [search(t<<b), search((t+1)<<b)))
+    tile_ids = jnp.arange(ntiles + 1, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(keys, tile_ids << prim_bits, side="left"
                               ).astype(jnp.int32)
-    ends = jnp.searchsorted(tile_of, tile_ids, side="right"
-                            ).astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
 
+    # contiguous per-tile extraction: vmapped dynamic_slice is ~4x
+    # faster than a [T, M] gather on TPU (measured); sentinel padding
+    # keeps every slice in-bounds without shifting
+    keys_padded = jnp.concatenate(
+        [keys, jnp.full((max_per_tile,), 0xFFFFFFFF, jnp.uint32)])
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(keys_padded, (s,),
+                                        (max_per_tile,)))(starts)
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gather_idx = jnp.clip(starts[:, None] + slot[None, :], 0,
-                          keys.shape[0] - 1)
     out_valid = slot[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    prim_idx = (keys[gather_idx]
-                & jnp.uint32((1 << prim_bits) - 1)).astype(jnp.int32)
-    prim_idx = jnp.where(out_valid, prim_idx, 0)
+    prim_idx = (rows & jnp.uint32((1 << prim_bits) - 1)).astype(jnp.int32)
+    prim_idx = jnp.where(out_valid, jnp.minimum(prim_idx, n - 1), 0)
 
     tile_overflow = jnp.any(counts > max_per_tile)
     overflow = jnp.any(prim_overflow) | tile_overflow
@@ -156,3 +161,88 @@ def tiles_to_image(tile_vals: jnp.ndarray, grid_h: int, grid_w: int,
     img = img.transpose(0, 2, 1, 3, 4).reshape(grid_h * TILE, grid_w * TILE, c)
     img = img[:height, :width]
     return img[..., 0] if squeeze else img
+
+
+@partial(jax.jit, static_argnames=("grid_h", "grid_w", "max_per_tile",
+                                   "max_tiles_per_prim"))
+def bin_primitives_with_payload(bbox_min, bbox_max, active, payload,
+                                grid_h: int, grid_w: int,
+                                max_per_tile: int,
+                                max_tiles_per_prim: int = 16):
+    """bin_primitives variant that carries a per-primitive payload
+    [N, D] through the pair sort, returning per-tile *contiguous* data
+    blocks [T, D, max_per_tile] directly — this removes the scattered
+    [T, M]-row gather that otherwise dominates the splat renderer
+    (payload columns ride the sort as extra operands).
+
+    Returns (TileBins, tile_data [T, D, M])."""
+    n = bbox_min.shape[0]
+    d = payload.shape[1]
+    ntiles = grid_h * grid_w
+    prim_bits = max(n - 1, 1).bit_length()
+    tile_bits = ntiles.bit_length()
+    assert prim_bits + tile_bits <= 32
+
+    t = jnp.int32(TILE)
+    tx0 = jnp.clip(jnp.floor(bbox_min[:, 0] / t), 0, grid_w - 1
+                   ).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bbox_min[:, 1] / t), 0, grid_h - 1
+                   ).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bbox_max[:, 0] / t), 0, grid_w - 1
+                   ).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bbox_max[:, 1] / t), 0, grid_h - 1
+                   ).astype(jnp.int32)
+    offscreen = ((bbox_max[:, 0] < 0) | (bbox_max[:, 1] < 0)
+                 | (bbox_min[:, 0] >= grid_w * TILE)
+                 | (bbox_min[:, 1] >= grid_h * TILE))
+    active = active & ~offscreen
+
+    w = tx1 - tx0 + 1
+    h = ty1 - ty0 + 1
+    footprint = w * h
+    prim_overflow = active & (footprint > max_tiles_per_prim)
+    k = jnp.where(active, jnp.minimum(footprint, max_tiles_per_prim), 0)
+
+    K = max_tiles_per_prim
+    j = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid = j < k[:, None]
+    w_safe = jnp.maximum(w, 1)[:, None]
+    tile = (ty0[:, None] + j // w_safe) * grid_w + tx0[:, None] + j % w_safe
+    prim_ids = jnp.arange(n, dtype=jnp.uint32)[:, None]
+    keys = (tile.astype(jnp.uint32) << prim_bits) | prim_ids
+    keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+
+    cols = tuple(
+        jnp.broadcast_to(payload[:, i:i + 1], (n, K)).reshape(-1)
+        for i in range(d))
+    sorted_all = jax.lax.sort((keys,) + cols, num_keys=1, is_stable=False)
+    keys = sorted_all[0]
+    pair_data = jnp.stack(sorted_all[1:], axis=0)        # [D, P]
+
+    tile_ids = jnp.arange(ntiles + 1, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(keys, tile_ids << prim_bits, side="left"
+                              ).astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = ends - starts
+
+    keys_padded = jnp.concatenate(
+        [keys, jnp.full((max_per_tile,), 0xFFFFFFFF, jnp.uint32)])
+    data_padded = jnp.concatenate(
+        [pair_data, jnp.zeros((d, max_per_tile), pair_data.dtype)], axis=1)
+
+    def slice_tile(s):
+        rows = jax.lax.dynamic_slice(keys_padded, (s,), (max_per_tile,))
+        block = jax.lax.dynamic_slice(data_padded, (0, s),
+                                      (d, max_per_tile))
+        return rows, block
+
+    rows, tile_data = jax.vmap(slice_tile)(starts)        # [T,M], [T,D,M]
+    slot = jnp.arange(max_per_tile, dtype=jnp.int32)
+    out_valid = slot[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
+    prim_idx = (rows & jnp.uint32((1 << prim_bits) - 1)).astype(jnp.int32)
+    prim_idx = jnp.where(out_valid, jnp.minimum(prim_idx, n - 1), 0)
+
+    overflow = jnp.any(prim_overflow) | jnp.any(counts > max_per_tile)
+    bins = TileBins(prim_idx=prim_idx, valid=out_valid, count=counts,
+                    overflow=overflow)
+    return bins, tile_data
