@@ -394,13 +394,6 @@ def _build_tile_data(means2d, conics, opacities, colors, prim_idx,
     return gathered.transpose(0, 2, 1)                   # [T, D, M]
 
 
-def _tile_origins(grid_h, grid_w):
-    ty, tx = jnp.meshgrid(jnp.arange(grid_h), jnp.arange(grid_w),
-                          indexing="ij")
-    return jnp.stack([tx.reshape(-1) * TILE, ty.reshape(-1) * TILE],
-                     -1).astype(jnp.float32)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def tile_composite_pallas(means2d, conics, opacities, colors, radii_signed,
                           grid_h, grid_w, max_per_tile, max_tiles_per_prim,

@@ -200,3 +200,32 @@ class TestRenderAPI:
         np.testing.assert_allclose(float(out["depth"][H // 2, W // 2])
                                    / float(out["alpha"][H // 2, W // 2]),
                                    2.5, atol=0.2)
+
+
+class TestPayloadBinning:
+    def test_matches_prim_idx_binning(self):
+        """bin_primitives_with_payload must produce the same lists and
+        the same tile data as binning + explicit row gather."""
+        from comfy3d_tpu.ops import binning
+        key = jax.random.PRNGKey(0)
+        n = 200
+        centers = jax.random.uniform(key, (n, 2)) * 96.0
+        radii = jax.random.uniform(jax.random.PRNGKey(1), (n,)) * 9 + 1
+        active = jax.random.uniform(jax.random.PRNGKey(2), (n,)) > 0.2
+        payload = jax.random.normal(jax.random.PRNGKey(3), (n, 8))
+        gh, gw = binning.num_tiles(96, 96)
+        bins = binning.bin_primitives(
+            centers - radii[:, None], centers + radii[:, None], active,
+            gh, gw, max_per_tile=128, max_tiles_per_prim=16)
+        bins2, tile_data = binning.bin_primitives_with_payload(
+            centers - radii[:, None], centers + radii[:, None], active,
+            payload, gh, gw, max_per_tile=128, max_tiles_per_prim=16)
+        np.testing.assert_array_equal(np.asarray(bins.count),
+                                      np.asarray(bins2.count))
+        np.testing.assert_array_equal(np.asarray(bins.prim_idx),
+                                      np.asarray(bins2.prim_idx))
+        ref = np.asarray(payload)[np.asarray(bins.prim_idx)]  # [T, M, D]
+        ref = ref * np.asarray(bins.valid)[..., None]
+        got = np.asarray(tile_data).transpose(0, 2, 1) \
+            * np.asarray(bins2.valid)[..., None]
+        np.testing.assert_allclose(got, ref, atol=1e-6)
