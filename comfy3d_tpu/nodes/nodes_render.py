@@ -389,3 +389,84 @@ class Convert_Vertex_Color_To_Texture:
         out = _dc.replace(mesh, vt=vt, ft=ft,
                           albedo=np.asarray(jnp.clip(albedo, 0, 1)))
         return (out,)
+
+
+@register
+class Fitting_Mesh_With_Multiview_Images:
+    """reference nodes.py:1315 — DiffRastMesh textured-mesh fitting."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "reference_images": ("IMAGE",),
+            "reference_masks": ("MASK",),
+            "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+            "reference_orbit_camera_fovy": ("FLOAT", {"default": 49.1}),
+            "training_iterations": ("INT", {"default": 1024, "min": 1}),
+            "batch_size": ("INT", {"default": 3, "min": 1}),
+            "texture_learning_rate": ("FLOAT", {"default": 0.1}),
+            "train_mesh_geometry": ("BOOLEAN", {"default": True}),
+            "texture_resolution": ("INT", {"default": 512}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("trained_mesh",)
+    FUNCTION = "fit_mesh"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def fit_mesh(self, mesh, reference_images, reference_masks,
+                 reference_orbit_camera_poses,
+                 reference_orbit_camera_fovy, training_iterations=1024,
+                 batch_size=3, texture_learning_rate=0.1,
+                 train_mesh_geometry=True, texture_resolution=512):
+        from ..algorithms import diff_mesh
+        from ..ops import texture as texture_ops
+
+        imgs = np.asarray(reference_images, np.float32)
+        masks = np.asarray(reference_masks, np.float32)
+        if len(imgs) != len(reference_orbit_camera_poses):
+            return error_none(
+                self.__class__.__name__,
+                f"{len(imgs)} images != "
+                f"{len(reference_orbit_camera_poses)} poses")
+        cams = _cams_from_poses(reference_orbit_camera_poses,
+                                reference_orbit_camera_fovy,
+                                imgs.shape[2], imgs.shape[1])
+        if mesh.vt is None or mesh.ft is None:
+            # reference auto-unwraps with xatlas (nodes.py:1372-ish);
+            # here: box-projection unwrap
+            vt, ft = texture_ops.box_unwrap(mesh.v, mesh.f)
+            import dataclasses as _dc
+            mesh = _dc.replace(mesh, vt=vt, ft=ft)
+        cfg = diff_mesh.DiffMeshConfig(
+            iterations=training_iterations, batch_size=batch_size,
+            lr_texture=texture_learning_rate,
+            lr_verts=1e-3 if train_mesh_geometry else 0.0,
+            texture_size=texture_resolution)
+        return (diff_mesh.fit(mesh, cams, imgs, masks, cfg),)
+
+
+@register
+class OrbitPoses_JK:
+    """reference nodes.py:3432 — fixed orbit pose preset rows."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..core.camera import ORBITPOSE_PRESETS
+        return {"required": {
+            "preset": (list(ORBITPOSE_PRESETS.keys()),
+                       {"default": "FOUR_VIEWS"}),
+            "orbit_radius": ("FLOAT", {"default": 1.75}),
+        }}
+
+    RETURN_TYPES = ("ORBIT_CAMPOSES",)
+    RETURN_NAMES = ("orbit_camposes",)
+    FUNCTION = "get_camposes"
+    CATEGORY = "Comfy3D/Preprocessor"
+
+    def get_camposes(self, preset="FOUR_VIEWS", orbit_radius=1.75):
+        from ..core.camera import ORBITPOSE_PRESETS
+        rows = [[orbit_radius, e, a, 0.0, 0.0, 0.0]
+                for e, a in ORBITPOSE_PRESETS[preset]]
+        return (rows,)

@@ -209,3 +209,32 @@ class TestWorkflowExecutor:
         ], "links": [[1, 1, 0, 2, 0, "MASK"], [2, 2, 0, 1, 0, "MASK"]]}
         with pytest.raises(WorkflowError, match="cycle"):
             run_workflow(wf)
+
+
+class TestFittingNodes:
+    def test_fitting_mesh_node(self, io_dirs):
+        """DiffRastMesh node: auto-unwrap + short fit run end-to-end."""
+        from tests.test_algorithms import icosphere
+        import jax.numpy as jnp
+        from comfy3d_tpu.ops import mesh_render
+        mesh = icosphere(subdiv=1, radius=0.6)
+        poses = [[2.0, 0.0, a, 0, 0, 0] for a in (0.0, 120.0, 240.0)]
+        from comfy3d_tpu.core.camera import Camera
+        cams = Camera.from_camposes(poses, width=32, height=32)
+        ref = mesh_render.render_mesh(jnp.asarray(mesh.v),
+                                      jnp.asarray(mesh.f), cams,
+                                      method="bruteforce")
+        node = NODE_CLASS_MAPPINGS[
+            "[Comfy3D] Fitting Mesh With Multiview Images"]()
+        (out,) = node.fit_mesh(mesh, np.asarray(ref["image"]),
+                               np.asarray(ref["alpha"]), poses, 49.1,
+                               training_iterations=6, batch_size=1,
+                               texture_resolution=64)
+        assert out.vt is not None and out.albedo is not None
+        assert out.albedo.shape == (64, 64, 3)
+
+    def test_orbit_poses_jk(self):
+        node = NODE_CLASS_MAPPINGS["[Comfy3D] OrbitPoses JK"]()
+        (rows,) = node.get_camposes("SIX_VIEWS_ZERO123PLUS", 2.0)
+        assert len(rows) == 6
+        assert all(r[0] == 2.0 and len(r) == 6 for r in rows)
