@@ -43,45 +43,101 @@ def project_gaussians(xyz, scale, rot_quat, w2c, intrinsics, width, height,
                       near: float = 0.01):
     """EWA projection of 3D gaussians to screen.
 
+    Fully scalarized: all 3×3 algebra is written out on [N] component
+    vectors. Rank-3 [N,3,3] einsum temporaries pad the minor dims to the
+    (8,128) TPU tile — hundreds of MB of dead HBM traffic per frame
+    (measured 5 ms at N=100k on v5e); the component form is one fused
+    elementwise pass (~0.3 ms).
+
     Returns (means2d [N,2] px, depths [N], conics [N,3] (a,b,c) of the
     inverse 2D covariance, radii [N] px, in_frustum [N] bool).
     """
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     R = w2c[:3, :3]
-    t = xyz @ R.T + w2c[:3, 3]
-    depth = -t[:, 2]                        # camera looks down -Z
+    x, y, z3 = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    t0 = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z3 + w2c[0, 3]
+    t1 = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z3 + w2c[1, 3]
+    t2 = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z3 + w2c[2, 3]
+    depth = -t2                             # camera looks down -Z
     in_front = depth > near
     d = jnp.maximum(depth, near)
+    inv_d = 1.0 / d
 
     # frustum-clamped view-plane coords (3DGS limits the EWA Jacobian blowup)
     lim_x = 1.3 * (0.5 * width / fx)
     lim_y = 1.3 * (0.5 * height / fy)
-    tx = jnp.clip(t[:, 0] / d, -lim_x, lim_x) * d
-    ty = jnp.clip(t[:, 1] / d, -lim_y, lim_y) * d
+    tx = jnp.clip(t0 * inv_d, -lim_x, lim_x) * d
+    ty = jnp.clip(t1 * inv_d, -lim_y, lim_y) * d
 
-    u = fx * t[:, 0] / d + cx
-    v = -fy * t[:, 1] / d + cy              # image rows grow downward
-    means2d = jnp.stack([u, v], -1)
+    u = fx * t0 * inv_d + cx
+    v = -fy * t1 * inv_d + cy               # image rows grow downward
 
-    # J: d(u,v)/d(t) — 2x3 per gaussian
-    z = jnp.zeros_like(d)
-    J = jnp.stack([
-        jnp.stack([fx / d, z, fx * tx / (d * d)], -1),
-        jnp.stack([z, -fy / d, -fy * ty / (d * d)], -1),
-    ], -2)                                   # [N, 2, 3]
+    # J rows: (j00, 0, j02) and (0, j11, j12)
+    j00 = fx * inv_d
+    j02 = fx * tx * inv_d * inv_d
+    j11 = -fy * inv_d
+    j12 = -fy * ty * inv_d * inv_d
 
-    Rot = quat_to_rotmat(rot_quat)           # [N, 3, 3]
-    M = Rot * scale[:, None, :]              # R·S
-    cov3d = jnp.einsum("nij,nkj->nik", M, M)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # world cov Σ = (R_q S)(R_q S)^T, expanded per component
+    qw = rot_quat[:, 0]
+    qx = rot_quat[:, 1]
+    qy = rot_quat[:, 2]
+    qz = rot_quat[:, 3]
+    sx, sy, sz = scale[:, 0], scale[:, 1], scale[:, 2]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    s00 = m00 * m00 + m01 * m01 + m02 * m02
+    s01 = m00 * m10 + m01 * m11 + m02 * m12
+    s02 = m00 * m20 + m01 * m21 + m02 * m22
+    s11 = m10 * m10 + m11 * m11 + m12 * m12
+    s12 = m10 * m20 + m11 * m21 + m12 * m22
+    s22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    # camera-frame cov: W = R Σ Rᵀ (R is the 3×3 w2c rotation)
+    def rot_row(i):
+        return R[i, 0], R[i, 1], R[i, 2]
+
+    w_rows = []
+    for i in (0, 1, 2):
+        ri0, ri1, ri2 = rot_row(i)
+        a0 = ri0 * s00 + ri1 * s01 + ri2 * s02
+        a1 = ri0 * s01 + ri1 * s11 + ri2 * s12
+        a2 = ri0 * s02 + ri1 * s12 + ri2 * s22
+        w_rows.append((a0, a1, a2))
+    c00 = w_rows[0][0] * R[0, 0] + w_rows[0][1] * R[0, 1] \
+        + w_rows[0][2] * R[0, 2]
+    c01 = w_rows[0][0] * R[1, 0] + w_rows[0][1] * R[1, 1] \
+        + w_rows[0][2] * R[1, 2]
+    c02 = w_rows[0][0] * R[2, 0] + w_rows[0][1] * R[2, 1] \
+        + w_rows[0][2] * R[2, 2]
+    c11 = w_rows[1][0] * R[1, 0] + w_rows[1][1] * R[1, 1] \
+        + w_rows[1][2] * R[1, 2]
+    c12 = w_rows[1][0] * R[2, 0] + w_rows[1][1] * R[2, 1] \
+        + w_rows[1][2] * R[2, 2]
+    c22 = w_rows[2][0] * R[2, 0] + w_rows[2][1] * R[2, 1] \
+        + w_rows[2][2] * R[2, 2]
+
+    # 2D cov = J W Jᵀ with J = [[j00,0,j02],[0,j11,j12]]
+    a = (j00 * j00 * c00 + 2 * j00 * j02 * c02 + j02 * j02 * c22) + 0.3
+    b = (j00 * j11 * c01 + j00 * j12 * c02
+         + j02 * j11 * c12 + j02 * j12 * c22)
+    c = (j11 * j11 * c11 + 2 * j11 * j12 * c12 + j12 * j12 * c22) + 0.3
 
     det = a * c - b * b
     det_safe = jnp.maximum(det, 1e-12)
-    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+    means2d = jnp.stack([u, v], -1)
 
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
@@ -280,13 +336,13 @@ tile_composite.defvjp(_composite_fwd, _composite_bwd)
 # ------------------------------------------------------------------ #
 @partial(jax.jit, static_argnames=("width", "height", "max_per_tile",
                                    "max_tiles_per_prim", "chunk",
-                                   "backend", "interpret"))
+                                   "backend", "bin_px", "interpret"))
 def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
                   w2c, intrinsics, width: int, height: int,
                   background=None, max_per_tile: int = 512,
                   max_tiles_per_prim: int = 16, chunk: int = 16,
                   means2d_offset=None, backend: str = "xla",
-                  interpret: bool = False):
+                  bin_px: int = 32, interpret: bool = False):
     """Render raw gaussian arrays for one camera. Fully differentiable.
 
     colors: [N, C] per-gaussian channel vector (precomputed — SH eval or
@@ -306,6 +362,24 @@ def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
         means2d = means2d + means2d_offset
     active = visible & alive & (opacity > ALPHA_MIN)
 
+    if backend == "pallas":
+        # coarse-bin flat pipeline (ops/pallas/gs_flat.py): one
+        # (bin|depth)-key sort, one flat row gather, fused DMA compositing
+        # with saturation early-exit; per-bin lists are unbounded.
+        chans = jnp.concatenate([colors, depth[:, None]], -1)
+        rgb, alpha, depth_img, overflow = render_flat(
+            means2d, conic, opacity, chans, depth, active,
+            jax.lax.stop_gradient(radii), width, height,
+            k=max_tiles_per_prim_coarse(max_tiles_per_prim),
+            bin_px=bin_px, interpret=interpret)
+        if background is not None:
+            bg = jnp.asarray(background, rgb.dtype)
+            rgb = rgb + (1.0 - alpha[..., None]) * bg
+        return {"image": rgb, "alpha": alpha, "depth": depth_img,
+                "radii": radii * active, "means2d": means2d,
+                "overflow": overflow}
+
+    # ------------- XLA reference path (CPU tests / fallback) ------------ #
     # global front-to-back depth sort of the N gaussians: makes per-tile
     # order equal emission order, collapsing the pair sort to a cheap
     # single-key sort (see binning.bin_primitives depth_sorted)
@@ -321,21 +395,14 @@ def render_arrays(xyz, scale, rot_quat, opacity, colors, alive,
     bb_max = s_means2d + s_radii[:, None]
     # channels: [rgb..., depth] composited together
     chans = jnp.concatenate([colors, depth[:, None]], -1)[order]
-    overflow = None
-    if backend == "pallas":
-        radii_signed = jnp.where(s_active, jnp.maximum(s_radii, 0.5), -1.0)
-        acc, T_final, overflow = tile_composite_pallas(
-            s_means2d, s_conic, s_opacity, chans, radii_signed,
-            grid_h, grid_w, max_per_tile, max_tiles_per_prim, interpret)
-    else:
-        bins = binning.bin_primitives(
-            jax.lax.stop_gradient(bb_min), jax.lax.stop_gradient(bb_max),
-            s_active, grid_h, grid_w, max_per_tile=max_per_tile,
-            max_tiles_per_prim=max_tiles_per_prim)
-        overflow = bins.overflow
-        acc, T_final = tile_composite(s_means2d, s_conic, s_opacity, chans,
-                                      bins.prim_idx, bins.valid,
-                                      grid_h, grid_w, chunk)
+    bins = binning.bin_primitives(
+        jax.lax.stop_gradient(bb_min), jax.lax.stop_gradient(bb_max),
+        s_active, grid_h, grid_w, max_per_tile=max_per_tile,
+        max_tiles_per_prim=max_tiles_per_prim)
+    overflow = bins.overflow
+    acc, T_final = tile_composite(s_means2d, s_conic, s_opacity, chans,
+                                  bins.prim_idx, bins.valid,
+                                  grid_h, grid_w, chunk)
 
     to_img = lambda a: binning.tiles_to_image(a, grid_h, grid_w,
                                               height, width)
@@ -472,5 +539,112 @@ def _pallas_vjp_bwd(grid_h, grid_w, max_per_tile, max_tiles_per_prim,
 
 
 tile_composite_pallas.defvjp(_pallas_vjp_fwd, _pallas_vjp_bwd)
+
+
+# ------------------------------------------------------------------ #
+# Coarse-bin flat pipeline (ops/pallas/gs_flat.py) — the v2 TPU path.
+# One (bin|depth)-key sort + one flat row gather + fused-DMA compositing.
+# ------------------------------------------------------------------ #
+def max_tiles_per_prim_coarse(max_tiles_per_prim: int) -> int:
+    """Map a 16-px-tile footprint cap to the equivalent 64-px-bin cap
+    (same pixel coverage; ≥4 so a 2×2 bin straddle always fits)."""
+    return max(4, max_tiles_per_prim // 4)
+
+
+def _bins_to_image(x, nby, nbx, height, width, bin_px=32):
+    """[nbins, NSUB, C, NPIX] → [H, W, C] (crop the bin padding)."""
+    from .pallas.gs_flat import TILE
+
+    sub = bin_px // TILE
+    c = x.shape[2]
+    img = x.reshape(nby, nbx, sub, sub, c, TILE, TILE)
+    img = img.transpose(0, 2, 5, 1, 3, 6, 4)   # nby,sy,ty,nbx,sx,tx,c
+    img = img.reshape(nby * sub * TILE, nbx * sub * TILE, c)
+    return img[:height, :width]
+
+
+def render_flat(means2d, conic, opacity, chans, depth, active, radii,
+                width: int, height: int, k: int = 4, bin_px: int = 32,
+                interpret: bool = False):
+    """Differentiable coarse-bin splat compositing for one camera.
+
+    chans: [N, C] channel vector (rgb... + depth last). Returns
+    (rgb [H,W,C-1], alpha [H,W], depth [H,W], overflow)."""
+    nby, nbx = binning.num_bins(height, width, bin_px)
+    sprim, bounds, overflow = binning.bin_coarse(
+        jax.lax.stop_gradient(means2d), jax.lax.stop_gradient(depth),
+        radii, active, nby, nbx, k=k, bin_px=bin_px)
+    # dead/inactive pairs get radius 0 → they fail every sub-tile
+    # footprint test inside the kernel
+    r_row = jnp.where(active, jnp.maximum(radii, 0.5), 0.0)
+    acc, trans = _composite_flat(means2d, conic, opacity, chans, r_row,
+                                 sprim, bounds, nbx, nby, width, height,
+                                 bin_px, interpret)
+    img = _bins_to_image(acc, nby, nbx, height, width, bin_px)
+    tr = _bins_to_image(trans, nby, nbx, height, width, bin_px)[..., 0]
+    alpha = 1.0 - tr
+    return img[..., :-1], alpha, img[..., -1], overflow
+
+
+def _flat_fwd_impl(means2d, conic, opacity, chans, radii, sprim, bounds,
+                   nbx, nby, width, height, bin_px, interpret):
+    from .pallas import gs_flat
+
+    n = means2d.shape[0]
+    c = chans.shape[-1]
+    d_raw = 7 + c                       # +1: 3σ radius row (footprint test)
+    dpay = -(-d_raw // 8) * 8
+    parts = [means2d, conic, opacity[:, None], chans, radii[:, None]]
+    if dpay > d_raw:
+        parts.append(jnp.zeros((n, dpay - d_raw), means2d.dtype))
+    packed = jnp.concatenate(parts, axis=-1)          # [N, D]
+    flat = packed[sprim].T                            # [D, P]
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((dpay, gs_flat.BLK), flat.dtype)], axis=1)
+    acc, trans, stops = gs_flat.composite_bins_fwd(
+        flat, bounds, nbx, nby, c, width, height, bin_px=bin_px,
+        interpret=interpret)
+    return (acc, trans), (flat, stops)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _composite_flat(means2d, conic, opacity, chans, radii, sprim, bounds,
+                    nbx, nby, width, height, bin_px, interpret):
+    out, _ = _flat_fwd_impl(means2d, conic, opacity, chans, radii,
+                            sprim, bounds, nbx, nby, width, height,
+                            bin_px, interpret)
+    return out
+
+
+def _flat_vjp_fwd(means2d, conic, opacity, chans, radii, sprim, bounds,
+                  nbx, nby, width, height, bin_px, interpret):
+    (acc, trans), (flat, stops) = _flat_fwd_impl(
+        means2d, conic, opacity, chans, radii, sprim, bounds,
+        nbx, nby, width, height, bin_px, interpret)
+    res = (flat, stops, trans, sprim, bounds,
+           means2d.shape[0], chans.shape[-1])
+    return (acc, trans), res
+
+
+def _flat_vjp_bwd(nbx, nby, width, height, bin_px, interpret,
+                  res, cotangents):
+    from .pallas import gs_flat
+
+    flat, stops, trans, sprim, bounds, n, c = res
+    g_acc, g_trans = cotangents
+    gflat = gs_flat.composite_bins_bwd(
+        flat, bounds, trans, stops, g_acc, g_trans,
+        nbx, nby, c, width, height, bin_px=bin_px,
+        interpret=interpret)   # [DG, Ppad]
+    p = sprim.shape[0]
+    g_rows = gflat[:, :p].T                                # [P, DG]
+    gm = jnp.zeros((n, 2)).at[sprim].add(g_rows[:, 0:2])
+    gc = jnp.zeros((n, 3)).at[sprim].add(g_rows[:, 2:5])
+    go = jnp.zeros((n,)).at[sprim].add(g_rows[:, 5])
+    gch = jnp.zeros((n, c)).at[sprim].add(g_rows[:, 6:6 + c])
+    return gm, gc, go, gch, None, None, None
+
+
+_composite_flat.defvjp(_flat_vjp_fwd, _flat_vjp_bwd)
 
 
