@@ -53,6 +53,9 @@ class TripoSRConfig:
     vit_hidden: int = 768
     vit_layers: int = 12
     vit_heads: int = 12
+    vit_mlp_dim: int = 3072
+    vit_patch: int = 16
+    vit_pretrain_grid: int = 14
 
 
 class TriplaneUpsample(nn.Module):
@@ -119,7 +122,10 @@ class TripoSR(nn.Module):
     def setup(self):
         c = self.cfg
         self.image_tokenizer = ViT(hidden=c.vit_hidden, layers=c.vit_layers,
-                                   heads=c.vit_heads, name="vit")
+                                   heads=c.vit_heads, mlp_dim=c.vit_mlp_dim,
+                                   patch=c.vit_patch,
+                                   pretrain_grid=c.vit_pretrain_grid,
+                                   name="vit")
         self.triplane_tokens = self.param(
             "triplane_tokens",
             nn.initializers.normal(1.0 / jnp.sqrt(c.token_channels)),

@@ -1,0 +1,175 @@
+"""TripoSR weight-conversion parity against the reference torch modules.
+
+Builds a randomly initialized torch "mini TSR" from the *actual reference
+classes* (`Gen_3D_Modules/TripoSR`: Triplane1DTokenizer, Transformer1D,
+TriplaneUpsampleNetwork, NeRFMLP, TriplaneNeRFRenderer) chained exactly as
+`system.py:76-110` chains them, converts its state dict with
+`_convert_triposr`, and asserts our flax TripoSR reproduces both the
+scene-code forward and the triplane field query.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import refutil
+from comfy3d_tpu.models.triposr import TripoSR, TripoSRConfig
+from comfy3d_tpu.models.triposr.pipeline import TripoSRPipeline, \
+    _convert_triposr
+
+torch = pytest.importorskip("torch")
+
+# tiny-but-structurally-faithful dims
+PLANE = 8
+TOKEN_C = 64
+HEADS = 4
+HEAD_DIM = 16
+LAYERS = 2
+CROSS = 48
+TRI_C = 12
+NEURONS = 32
+HIDDEN = 3
+RADIUS = 0.87
+IMG = 32          # cond image size; patch 8 → 4×4 grid (= pretrain grid)
+
+CFG = TripoSRConfig(
+    cond_image_size=IMG, plane_size=PLANE, token_channels=TOKEN_C,
+    num_layers=LAYERS, heads=HEADS, dim_head=HEAD_DIM,
+    cross_attention_dim=CROSS, triplane_channels=TRI_C,
+    mlp_neurons=NEURONS, mlp_hidden_layers=HIDDEN, radius=RADIUS,
+    vit_hidden=CROSS, vit_layers=2, vit_heads=2, vit_mlp_dim=2 * CROSS,
+    vit_patch=8, vit_pretrain_grid=4)
+
+
+class MiniTSR(torch.nn.Module):
+    """Reference modules chained per `TripoSR/system.py:76-110`, with
+    attribute names chosen so `state_dict()` keys match the public
+    checkpoint layout that `_convert_triposr` expects."""
+
+    def __init__(self):
+        super().__init__()
+        refutil.install()
+        from transformers import ViTConfig, ViTModel
+        from TripoSR.models.tokenizers.triplane import Triplane1DTokenizer
+        from TripoSR.models.transformer.transformer_1d import Transformer1D
+        from TripoSR.models.network_utils import (NeRFMLP,
+                                                  TriplaneUpsampleNetwork)
+        from TripoSR.models.nerf_renderer import TriplaneNeRFRenderer
+
+        vit_cfg = ViTConfig(hidden_size=CROSS, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=2 * CROSS,
+                            image_size=IMG, patch_size=8, num_channels=3)
+        self.image_tokenizer = torch.nn.Module()
+        self.image_tokenizer.model = ViTModel(vit_cfg,
+                                              add_pooling_layer=False)
+        self.tokenizer = Triplane1DTokenizer(
+            {"plane_size": PLANE, "num_channels": TOKEN_C})
+        self.backbone = Transformer1D({
+            "in_channels": TOKEN_C, "num_attention_heads": HEADS,
+            "attention_head_dim": HEAD_DIM, "num_layers": LAYERS,
+            "cross_attention_dim": CROSS})
+        self.post_processor = TriplaneUpsampleNetwork(
+            {"in_channels": TOKEN_C, "out_channels": TRI_C})
+        self.decoder = NeRFMLP({"in_channels": 3 * TRI_C,
+                                "n_neurons": NEURONS,
+                                "n_hidden_layers": HIDDEN,
+                                "activation": "silu"})
+        self.renderer = TriplaneNeRFRenderer({
+            "radius": RADIUS, "feature_reduction": "concat",
+            "density_activation": "exp", "density_bias": -1.0,
+            "num_samples_per_ray": 8})
+        self.renderer.chunk_size = 0
+
+    def scene_codes(self, images_nhwc):
+        """system.py:76-110 forward (image preproc folded in)."""
+        x = images_nhwc.permute(0, 3, 1, 2)
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        x = (x - mean) / std
+        out = self.image_tokenizer.model(x, interpolate_pos_encoding=True)
+        img_tokens = out.last_hidden_state          # [B, Nt, C]
+        tokens = self.tokenizer(images_nhwc.shape[0])
+        tokens = self.backbone(tokens, encoder_hidden_states=img_tokens)
+        return self.post_processor(self.tokenizer.detokenize(tokens))
+
+    def query(self, scene_code, positions):
+        out = self.renderer.query_triplane(self.decoder, positions,
+                                           scene_code)
+        return out["density_act"][..., 0], out["color"]
+
+
+@pytest.fixture(scope="module")
+def mini():
+    torch.manual_seed(7)
+    m = MiniTSR().eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def flax_params(mini):
+    pipe = TripoSRPipeline.init_random(cfg=CFG)
+    params = {k: np.asarray(v) for k, v in pipe.params.items()} \
+        if not isinstance(pipe.params, dict) else pipe.params
+    import jax
+    params = jax.tree.map(np.asarray, pipe.params)
+    sd = {k: v.detach().numpy() for k, v in mini.state_dict().items()}
+    return _convert_triposr(sd, params)
+
+
+class TestTripoSRParity:
+    def test_scene_codes_parity(self, mini, flax_params):
+        x = np.random.RandomState(0).rand(2, IMG, IMG, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = mini.scene_codes(torch.from_numpy(x)).numpy()
+        model = TripoSR(CFG)
+        ours = np.asarray(model.apply({"params": flax_params},
+                                      jnp.asarray(x)))
+        # ref [B, 3, C, H, W] vs ours [B, 3, H, W, C]
+        ref_t = np.transpose(ref, (0, 1, 3, 4, 2))
+        assert ours.shape == ref_t.shape
+        np.testing.assert_allclose(ours, ref_t, atol=2e-4)
+
+    def test_field_query_parity(self, mini, flax_params):
+        x = np.random.RandomState(1).rand(1, IMG, IMG, 3).astype(np.float32)
+        pos = (np.random.RandomState(2).rand(257, 3).astype(np.float32)
+               * 2.0 - 1.0) * RADIUS * 1.05     # some outside the bound
+        with torch.no_grad():
+            code = mini.scene_codes(torch.from_numpy(x))[0]
+            sig_ref, rgb_ref = mini.query(code, torch.from_numpy(pos))
+        model = TripoSR(CFG)
+        planes = np.transpose(code.numpy(), (0, 2, 3, 1))
+        sig, rgb = model.apply({"params": flax_params},
+                               jnp.asarray(planes), jnp.asarray(pos),
+                               method=TripoSR.query)
+        np.testing.assert_allclose(np.asarray(sig), sig_ref.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rgb), rgb_ref.numpy(),
+                                   atol=2e-4)
+
+    def test_no_unconverted_keys(self, mini, flax_params):
+        """Every torch parameter key must be consumed by the converter
+        (buffers like position_ids are exempt)."""
+        sd = {k: v.detach().numpy() for k, v in mini.state_dict().items()}
+        consumed = []
+        from comfy3d_tpu.models import convert as C
+        vit = C.convert_with_rules(sd, C.vit_rules("image_tokenizer.model."),
+                                   strict=False)
+        bb = C.convert_with_rules(sd, C.transformer1d_rules("backbone.", ""),
+                                  strict=False)
+
+        def count(tree):
+            n = 0
+            for v in tree.values():
+                n += count(v) if isinstance(v, dict) else 1
+            return n
+
+        n_direct = sum(1 for k in sd if k.startswith(
+            ("tokenizer.", "post_processor.", "decoder.")))
+        n_vit_keys = sum(1 for k in sd
+                         if k.startswith("image_tokenizer.model.")
+                         and "pooler" not in k)
+        n_bb_keys = sum(1 for k in sd if k.startswith("backbone."))
+        assert count(vit) == n_vit_keys
+        assert count(bb) == n_bb_keys
+        assert n_direct == 1 + 2 + 2 * (HIDDEN + 1)  # tokens, deconv, MLP
