@@ -56,6 +56,7 @@ class InstantMeshConfig:
     vit_heads: int = 12
     vit_mlp: int = 3072
     patch: int = 16
+    vit_pretrain_grid: int = 14
 
 
 class ViTBlockAdaLN(nn.Module):
@@ -138,13 +139,18 @@ class LRMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond):
-        h = nn.LayerNorm(name="norm1", use_bias=False, use_scale=True)(x)
+        # reference `BasicTransformerBlock` (decoder/transformer.py:20-63):
+        # torch LayerNorm defaults (eps 1e-5, affine WITH bias); MHA built
+        # with attn_bias=False → no qkv/out-proj biases
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, self.dim // self.heads,
-                          qkv_bias=True, name="cross_attn")(h, context=cond)
-        h = nn.LayerNorm(name="norm2", use_bias=False, use_scale=True)(x)
+                          qkv_bias=False, out_bias=False,
+                          name="cross_attn")(h, context=cond)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + Attention(self.dim, self.heads, self.dim // self.heads,
-                          qkv_bias=True, name="self_attn")(h)
-        h = nn.LayerNorm(name="norm3", use_bias=False, use_scale=True)(x)
+                          qkv_bias=False, out_bias=False,
+                          name="self_attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = nn.Dense(self.dim * 4, name="mlp_in")(h)
         h = nn.gelu(h, approximate=False)
         x = x + nn.Dense(self.dim, name="mlp_out")(h)
@@ -211,6 +217,7 @@ class InstantMesh(nn.Module):
         self.encoder = DinoAdaLN(hidden=c.encoder_feat_dim,
                                  layers=c.vit_layers, heads=c.vit_heads,
                                  mlp_dim=c.vit_mlp, patch=c.patch,
+                                 pretrain_grid=c.vit_pretrain_grid,
                                  name="encoder")
         self.transformer = TriplaneTransformer(c, name="transformer")
         self.decoder = OSGDecoder(c.triplane_dim, c.decoder_hidden,
