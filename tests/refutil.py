@@ -27,6 +27,8 @@ def _stub(name):
     if name in sys.modules:
         return sys.modules[name]
     m = types.ModuleType(name)
+    m.__path__ = []          # mark as package so submodule stubs resolve
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
     sys.modules[name] = m
     return m
 
@@ -65,7 +67,8 @@ def install():
     om.OmegaConf = _OmegaConf
     om.DictConfig = dict
 
-    _stub("trimesh")
+    tm = _stub("trimesh")
+    tm.Trimesh = type("Trimesh", (), {})
     mc = _stub("mcubes")
     mc.marching_cubes = None
 
@@ -81,6 +84,39 @@ def install():
 
     kop.safe_normalize = safe_normalize
     kop.inverse_sigmoid = lambda x: torch.log(x / (1 - x))
+
+    # diffusers bits the Hunyuan/vecset package __init__ chains import
+    dif = _stub("diffusers")
+    dif_utils = _stub("diffusers.utils")
+    dif_tu = _stub("diffusers.utils.torch_utils")
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        return torch.randn(*shape, generator=generator, dtype=dtype)
+
+    dif_tu.randn_tensor = randn_tensor
+    dif_iu = _stub("diffusers.utils.import_utils")
+    dif_iu.is_accelerate_version = lambda *a, **k: False
+    dif_iu.is_accelerate_available = lambda *a, **k: False
+    dif.utils = dif_utils
+    dif_utils.torch_utils = dif_tu
+    dif_utils.import_utils = dif_iu
+
+    for name in ("pymeshlab", "pygltflib", "rembg", "skimage",
+                 "skimage.measure", "tqdm.auto"):
+        _stub(name)
+    sys.modules["pymeshlab"].MeshSet = type("MeshSet", (), {})
+    sys.modules["pymeshlab"].Mesh = type("Mesh", (), {})
+    tv = _stub("torchvision")
+    tvt = _stub("torchvision.transforms")
+    tv.transforms = tvt
+    for cls in ("Compose", "Resize", "CenterCrop", "Normalize",
+                "InterpolationMode", "ToTensor"):
+        setattr(tvt, cls, type(cls, (), {
+            "__init__": lambda self, *a, **k: None,
+            "BILINEAR": 2, "BICUBIC": 3}))
+    if not hasattr(sys.modules.get("tqdm.auto"), "tqdm"):
+        import tqdm as _tqdm
+        sys.modules["tqdm.auto"].tqdm = _tqdm.tqdm
 
     if REF_MODULES not in sys.path:
         sys.path.insert(0, REF_MODULES)

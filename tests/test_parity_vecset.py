@@ -1,0 +1,127 @@
+"""Vecset substrate parity vs the reference Hunyuan3D-V2 torch modules.
+
+Covers (1) the ShapeVAE stack — FourierEmbedder, per-head-packed
+self/cross attention Transformer, CrossAttentionDecoder — composed
+exactly as `autoencoders/model.py:132-189`, and (2) the double/single-
+stream flow DiT (`denoisers/hunyuan3ddit.py:284-410`), both converted
+through models/vecset/convert.py from randomly initialized reference
+weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import refutil
+from comfy3d_tpu.models.vecset import (ShapeVAE, ShapeVAEConfig,
+                                       Hunyuan3DDiT, DiTConfig,
+                                       fourier_embed, FourierConfig)
+from comfy3d_tpu.models.vecset.convert import (convert_shape_vae,
+                                               convert_dit)
+
+torch = pytest.importorskip("torch")
+
+WIDTH = 64
+HEADS = 4
+LAYERS = 2
+EMBED = 8
+NLAT = 16
+
+VAE_CFG = ShapeVAEConfig(num_latents=NLAT, embed_dim=EMBED, width=WIDTH,
+                         heads=HEADS, num_decoder_layers=LAYERS,
+                         qk_norm=True)
+
+DIT_CFG = DiTConfig(in_channels=EMBED, context_in_dim=24, hidden_size=64,
+                    num_heads=4, depth=2, depth_single_blocks=2)
+
+
+@pytest.fixture(scope="module")
+def ref_vae():
+    refutil.install()
+    from Hunyuan3D_V2.hy3dgen.shapegen.models.autoencoders. \
+        attention_blocks import (FourierEmbedder, Transformer,
+                                 CrossAttentionDecoder)
+
+    class MiniShapeVAE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fourier_embedder = FourierEmbedder(num_freqs=8,
+                                                    include_pi=True)
+            self.post_kl = torch.nn.Linear(EMBED, WIDTH)
+            self.transformer = Transformer(
+                n_ctx=NLAT, width=WIDTH, layers=LAYERS, heads=HEADS,
+                qkv_bias=True, qk_norm=True)
+            self.geo_decoder = CrossAttentionDecoder(
+                fourier_embedder=self.fourier_embedder, out_channels=1,
+                num_latents=NLAT, width=WIDTH, heads=HEADS,
+                qkv_bias=True, qk_norm=True)
+
+        def decode(self, latents):
+            return self.transformer(self.post_kl(latents))
+
+        def query(self, decoded, pts):
+            return self.geo_decoder(queries=pts, latents=decoded)
+
+    torch.manual_seed(5)
+    return MiniShapeVAE().eval()
+
+
+def test_fourier_embed_parity():
+    refutil.install()
+    from Hunyuan3D_V2.hy3dgen.shapegen.models.autoencoders. \
+        attention_blocks import FourierEmbedder
+    fe = FourierEmbedder(num_freqs=8, include_pi=True)
+    x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = fe(torch.from_numpy(x)).numpy()
+    ours = fourier_embed(jnp.asarray(x), FourierConfig(8, True))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_shape_vae_parity(ref_vae):
+    lat = np.random.RandomState(1).randn(2, NLAT, EMBED).astype(np.float32)
+    pts = (np.random.RandomState(2).rand(2, 37, 3).astype(np.float32)
+           * 2 - 1)
+    with torch.no_grad():
+        dec_ref = ref_vae.decode(torch.from_numpy(lat))
+        occ_ref = ref_vae.query(dec_ref, torch.from_numpy(pts)).numpy()
+        dec_ref = dec_ref.numpy()
+    sd = {k: v.detach().numpy() for k, v in ref_vae.state_dict().items()}
+    params = convert_shape_vae(sd)
+    vae = ShapeVAE(VAE_CFG)
+    dec = vae.apply({"params": params}, jnp.asarray(lat))
+    np.testing.assert_allclose(np.asarray(dec), dec_ref, atol=5e-4)
+    occ = vae.apply({"params": params}, jnp.asarray(dec), jnp.asarray(pts),
+                    method=ShapeVAE.query)
+    np.testing.assert_allclose(np.asarray(occ), occ_ref[..., 0], atol=5e-4)
+
+
+def test_dit_parity():
+    refutil.install()
+    from Hunyuan3D_V2.hy3dgen.shapegen.models.denoisers.hunyuan3ddit \
+        import Hunyuan3DDiT as RefDiT
+    torch.manual_seed(6)
+    ref = RefDiT(in_channels=EMBED, context_in_dim=24, hidden_size=64,
+                 num_heads=4, depth=2, depth_single_blocks=2,
+                 axes_dim=[16]).eval()
+    x = np.random.RandomState(3).randn(2, NLAT, EMBED).astype(np.float32)
+    t = np.array([0.25, 0.75], np.float32)
+    cond = np.random.RandomState(4).randn(2, 9, 24).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(t),
+                      {"main": torch.from_numpy(cond)}).numpy()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_dit(sd)
+    ours = Hunyuan3DDiT(DIT_CFG).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(cond))
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=5e-4)
+
+
+def test_all_keys_consumed(ref_vae):
+    from comfy3d_tpu.models.vecset.convert import shape_vae_rules
+    sd = {k: v.detach().numpy() for k, v in ref_vae.state_dict().items()}
+    rules = shape_vae_rules()
+    missed = [k for k in sd if rules(k, sd[k]) is None]
+    assert missed == []
