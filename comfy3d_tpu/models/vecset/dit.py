@@ -22,16 +22,17 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class DiTConfig:
+    # defaults = hunyuan3d-dit-v2-0 (hunyuan3ddit.py:284-300)
     in_channels: int = 64
     context_in_dim: int = 1536
     hidden_size: int = 1024
     mlp_ratio: float = 4.0
     num_heads: int = 16
-    depth: int = 8
-    depth_single_blocks: int = 16
+    depth: int = 16
+    depth_single_blocks: int = 32
     qkv_bias: bool = True
     time_factor: float = 1000.0
-    guidance_embed: bool = False
+    guidance_embed: bool = False     # True for the -turbo distillations
 
 
 def timestep_embedding(t, dim: int, max_period=10000,

@@ -94,6 +94,66 @@ def install():
         return torch.randn(*shape, generator=generator, dtype=dtype)
 
     dif_tu.randn_tensor = randn_tensor
+
+    # minimal ConfigMixin so the reference schedulers are instantiable
+    dif_cu = _stub("diffusers.configuration_utils")
+    import functools
+
+    class _FrozenDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    class ConfigMixin:
+        pass
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def inner(self, *args, **kwargs):
+            import inspect
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+            self._internal_dict = _FrozenDict(cfg)
+            type(self).config = property(
+                lambda s: s._internal_dict)
+            init(self, *args, **kwargs)
+
+        return inner
+
+    dif_cu.ConfigMixin = ConfigMixin
+    dif_cu.register_to_config = register_to_config
+    dif_sched = _stub("diffusers.schedulers")
+    dif_su = _stub("diffusers.schedulers.scheduling_utils")
+    dif_su.SchedulerMixin = type("SchedulerMixin", (), {})
+    dif_sched.scheduling_utils = dif_su
+
+    class BaseOutput(dict):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.__dict__.update(kw)
+
+        def __init_subclass__(cls, **kw):
+            super().__init_subclass__(**kw)
+            import dataclasses as _dc
+
+            def _init(self, **kwargs):
+                dict.__init__(self, **kwargs)
+                self.__dict__.update(kwargs)
+            cls.__init__ = _init
+
+    dif_utils.BaseOutput = BaseOutput
+
+    class _Logging:
+        @staticmethod
+        def get_logger(name=None):
+            import logging as _l
+            return _l.getLogger(name or "diffusers")
+
+    dif_utils.logging = _Logging
     dif_iu = _stub("diffusers.utils.import_utils")
     dif_iu.is_accelerate_version = lambda *a, **k: False
     dif_iu.is_accelerate_available = lambda *a, **k: False

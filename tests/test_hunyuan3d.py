@@ -1,0 +1,139 @@
+"""Hunyuan3D-V2 shape pipeline tests: flow-schedule parity vs the
+reference scheduler, tiny-config end-to-end sampling (CFG + distilled),
+and the reference `Hunyuan3D_V2.json` workflow running headlessly."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfy3d_tpu.models.hunyuan3d import (Hunyuan3DShapeConfig,
+                                          Hunyuan3DShapePipeline)
+from comfy3d_tpu.models.vecset import flow_match_sigmas
+
+
+class TestFlowSchedule:
+    def test_sigma_parity_vs_reference_scheduler(self):
+        torch = pytest.importorskip("torch")
+        import refutil
+        refutil.install()
+        from Hunyuan3D_V2.hy3dgen.shapegen.schedulers import \
+            FlowMatchEulerDiscreteScheduler
+        for shift in (1.0, 3.0):
+            sch = FlowMatchEulerDiscreteScheduler(
+                num_train_timesteps=1000, shift=shift)
+            # the pipeline passes sigmas=linspace(0,1,N)
+            sch.set_timesteps(sigmas=np.linspace(0, 1, 8))
+            ref = sch.sigmas.numpy()
+            ours = flow_match_sigmas(8, shift=shift)
+            np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_euler_step(self):
+        from comfy3d_tpu.models.vecset import flow_match_step
+        x = jnp.ones((2, 3))
+        v = jnp.full((2, 3), 2.0)
+        out = flow_match_step(x, v, 0.1, 0.3)
+        np.testing.assert_allclose(np.asarray(out), 1.0 + 0.2 * 2.0)
+
+
+class TestPipeline:
+    def test_end_to_end_tiny(self):
+        pipe = Hunyuan3DShapePipeline.init_random(
+            cfg=Hunyuan3DShapeConfig.tiny())
+        img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+        meshes = pipe(img, seed=1, octree_resolution=24, num_chunks=4096)
+        assert len(meshes) == 1
+        m = meshes[0]
+        assert m.v.shape[1] == 3 and m.f.shape[1] == 3
+
+    def test_distilled_guidance_path(self):
+        import dataclasses
+        cfg = Hunyuan3DShapeConfig.tiny()
+        cfg = dataclasses.replace(
+            cfg, dit=dataclasses.replace(cfg.dit, guidance_embed=True))
+        pipe = Hunyuan3DShapePipeline.init_random(cfg=cfg)
+        img = np.random.RandomState(1).rand(28, 28, 3).astype(np.float32)
+        lat = pipe.sample_latents(img, seed=0, num_steps=3)
+        assert lat.shape == (1, cfg.vae.num_latents, cfg.vae.embed_dim)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_latents_deterministic_in_seed(self):
+        pipe = Hunyuan3DShapePipeline.init_random(
+            cfg=Hunyuan3DShapeConfig.tiny())
+        img = np.random.RandomState(2).rand(28, 28, 3).astype(np.float32)
+        a = np.asarray(pipe.sample_latents(img, seed=7))
+        b = np.asarray(pipe.sample_latents(img, seed=7))
+        c = np.asarray(pipe.sample_latents(img, seed=8))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 0
+
+
+class TestWorkflow:
+    def test_reference_hunyuan_workflow_headless(self, tmp_path,
+                                                 monkeypatch):
+        wf_path = ("/root/reference/example_workflows/Hunyuan3D_V2/"
+                   "Hunyuan3D_V2.json")
+        if not os.path.exists(wf_path):
+            pytest.skip("reference workflows not mounted")
+        from comfy3d_tpu.nodes import base, run_workflow
+        import comfy3d_tpu.nodes.nodes_hunyuan3d as nh
+        from comfy3d_tpu.nodes.graph import load_node_mappings
+        mappings = load_node_mappings()
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        out_dir.mkdir()
+        monkeypatch.setattr(base, "INPUT_ROOT_PATH", str(in_dir))
+        monkeypatch.setattr(base, "OUTPUT_ROOT_PATH", str(out_dir))
+        import cv2
+        img = np.zeros((32, 32, 3), np.uint8)
+        cv2.circle(img, (16, 16), 10, (30, 180, 250), -1)
+        cv2.imwrite(str(in_dir / "penguin.png"), img)
+
+        monkeypatch.setattr(
+            nh.Load_Hunyuan3D_V2_ShapeGen_Pipeline, "load",
+            lambda self, *a, **k: (Hunyuan3DShapePipeline.init_random(
+                cfg=Hunyuan3DShapeConfig.tiny()),))
+        # TexGen/paint nodes are round-3 scope: stub them to pass-through
+        if "[Comfy3D] Load Hunyuan3D V2 TexGen Pipeline" not in mappings:
+            @base.register
+            class Load_Hunyuan3D_V2_TexGen_Pipeline:
+                RETURN_TYPES = ("DIFFUSERS_PIPE",)
+                FUNCTION = "load"
+
+                @classmethod
+                def INPUT_TYPES(cls):
+                    return {"required": {"model": ([],)}}
+
+                def load(self, *a, **k):
+                    return (None,)
+
+            @base.register
+            class Hunyuan3D_V2_Paint_Model_Turbo_MV:
+                RETURN_TYPES = ("MESH",)
+                FUNCTION = "run"
+
+                @classmethod
+                def INPUT_TYPES(cls):
+                    return {"required": {"pipe": ("DIFFUSERS_PIPE",),
+                                         "images": ("LIST",),
+                                         "mesh": ("MESH",)}}
+
+                def run(self, *args, **kwargs):
+                    mesh = kwargs.get("mesh")
+                    if mesh is None:
+                        mesh = [a for a in args
+                                if hasattr(a, "v")][0]
+                    return (mesh,)
+
+        wf = json.load(open(wf_path))
+        overrides = {88: {"num_inference_steps": 2,
+                          "octree_resolution": 24}}
+        results = run_workflow(wf, overrides=overrides)
+        assert 88 in results                      # ShapeGen MV → mesh
+        mesh = results[88][0]
+        assert mesh is not None and mesh.v.shape[1] == 3

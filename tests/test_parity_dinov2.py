@@ -1,0 +1,52 @@
+"""Dinov2 flax encoder parity vs transformers' torch Dinov2Model (the
+conditioner oracle for Hunyuan3D / TRELLIS / TripoSG pipelines)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfy3d_tpu.models.dinov2 import Dinov2, Dinov2Config, convert_dinov2
+
+torch = pytest.importorskip("torch")
+
+
+def _make(swiglu: bool):
+    from transformers import Dinov2Config as HFConfig, Dinov2Model
+    torch.manual_seed(9)
+    hf = Dinov2Model(HFConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        mlp_ratio=4, image_size=28, patch_size=14,
+        use_swiglu_ffn=swiglu)).eval()
+    cfg = Dinov2Config(hidden=32, layers=2, heads=2, mlp_ratio=4,
+                       patch=14, pretrain_image_size=28,
+                       use_swiglu=swiglu)
+    return hf, cfg
+
+
+@pytest.mark.parametrize("swiglu", [False, True])
+def test_dinov2_parity(swiglu):
+    hf, cfg = _make(swiglu)
+    x = np.random.RandomState(0).rand(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_dinov2(sd)
+    ours = Dinov2(cfg).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+
+def test_dinov2_interpolated_positions():
+    hf, cfg = _make(False)
+    x = np.random.RandomState(1).rand(1, 56, 56, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                 ).last_hidden_state.numpy()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_dinov2(sd)
+    ours = np.asarray(Dinov2(cfg).apply({"params": params},
+                                        jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999          # interpolation kernels differ slightly
