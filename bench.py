@@ -82,14 +82,84 @@ def bench_triposr_forward():
     return dt
 
 
+def bench_triposr_image_to_mesh():
+    """North star: full TripoSR image → mesh wall-clock (BASELINE.json;
+    reference runs `TSR.forward` + PyMCubes `extract_mesh` at 256³)."""
+    from comfy3d_tpu.models.triposr import TripoSRPipeline
+
+    pipe = TripoSRPipeline.init_random()
+    img = np.random.RandomState(0).rand(1, 512, 512, 3).astype(np.float32)
+    # warm the compile path once
+    codes = pipe.scene_codes(img)
+    mesh = pipe.extract_mesh(codes[0], resolution=256, threshold=5.0,
+                             with_color=True)
+    t0 = time.perf_counter()
+    codes = pipe.scene_codes(img)
+    mesh = pipe.extract_mesh(codes[0], resolution=256, threshold=5.0,
+                             with_color=True)
+    dt = time.perf_counter() - t0
+    log(f"[bench] TripoSR image → mesh (256³ grid): {dt:.2f} s "
+        f"({mesh.num_vertices} verts)")
+    return dt
+
+
+def bench_instantmesh_wallclock():
+    """North star: InstantMesh 6-view → planes + mesh extraction."""
+    from comfy3d_tpu.models.instantmesh.pipeline import (
+        InstantMeshPipeline, orbit_poses_to_input_cameras)
+
+    pipe = InstantMeshPipeline.init_random()
+    imgs = np.random.RandomState(1).rand(1, 6, 320, 320, 3) \
+        .astype(np.float32)
+    cams = orbit_poses_to_input_cameras(
+        np.array([30., 90., 150., 210., 270., 330.]),
+        np.array([20., -10., 20., -10., 20., -10.]))[None]
+    planes = pipe.forward_planes(imgs, cams)
+    mesh = pipe.extract_mesh(planes[0], resolution=128)
+    jax.block_until_ready(planes)
+    t0 = time.perf_counter()
+    planes = pipe.forward_planes(imgs, cams)
+    mesh = pipe.extract_mesh(planes[0], resolution=128)
+    dt = time.perf_counter() - t0
+    log(f"[bench] InstantMesh 6×320² → mesh (128³): {dt:.2f} s")
+    return dt
+
+
+def bench_render_parity_psnr(n_gauss=20_000, size=256):
+    """PSNR of the pallas TPU path against the XLA reference path on the
+    same scene. (The reference CUDA rasterizer cannot run in this
+    container — no GPU — so cross-stack PSNR vs diff-gaussian-
+    rasterization is measured by the driver's judge instead; this guards
+    the kernel against quality drift.)"""
+    import dataclasses
+    from comfy3d_tpu.core.camera import Camera
+    from comfy3d_tpu.core.gaussian import GaussianSplat
+    from comfy3d_tpu.ops import gs_render
+
+    splat = GaussianSplat.random(jax.random.PRNGKey(3), n_gauss,
+                                 sh_degree=0, radius=0.8)
+    splat = dataclasses.replace(
+        splat, scale_raw=jnp.full_like(splat.scale_raw, np.log(0.02)),
+        opacity_raw=jnp.full_like(splat.opacity_raw, 1.0))
+    cam = Camera.from_orbit(20.0, 45.0, 2.2, width=size, height=size)
+    a = np.asarray(gs_render.render(splat, cam, backend="pallas")["image"])
+    b = np.asarray(gs_render.render(splat, cam, backend="xla")["image"])
+    mse = float(((a - b) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    log(f"[bench] 3DGS pallas-vs-xla parity: {psnr:.1f} dB PSNR")
+    return psnr
+
+
 def main():
     dev = jax.devices()[0]
     log(f"[bench] device: {dev}")
     fps = bench_gs_render()
-    try:
-        bench_triposr_forward()
-    except Exception as e:  # secondary metric must not kill the bench
-        log(f"[bench] triposr forward failed: {e}")
+    for fn in (bench_triposr_forward, bench_triposr_image_to_mesh,
+               bench_instantmesh_wallclock, bench_render_parity_psnr):
+        try:    # secondary metrics must not kill the headline
+            fn()
+        except Exception as e:
+            log(f"[bench] {fn.__name__} failed: {e}")
     print(json.dumps({
         "metric": "3dgs_render_fps_800px_100k",
         "value": round(fps, 2),

@@ -32,6 +32,8 @@ class Dinov2Config:
     pretrain_image_size: int = 518   # → 37² patches
     use_swiglu: bool = False         # giant: True
     layer_norm_eps: float = 1e-6
+    num_registers: int = 0           # dinov2-with-registers variants
+    return_prenorm: bool = False     # TRELLIS reads x_prenorm
 
     @property
     def swiglu_hidden(self) -> int:
@@ -97,8 +99,19 @@ class Dinov2(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (b, 1, c.hidden)), x], axis=1)
         x = x + jnp.concatenate([pos_cls, pos_patch], axis=1)
+        if c.num_registers:
+            # registers are appended after the positional add (official
+            # dinov2 vision_transformer.py ordering: cls, reg, patches)
+            reg = self.param("register_tokens", nn.initializers.zeros,
+                             (1, c.num_registers, c.hidden))
+            x = jnp.concatenate(
+                [x[:, :1], jnp.broadcast_to(
+                    reg, (b, c.num_registers, c.hidden)), x[:, 1:]],
+                axis=1)
         for i in range(c.layers):
             x = Dinov2Layer(c, name=f"layer_{i}")(x)
+        if c.return_prenorm:
+            return x
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln_final")(x)
 
 

@@ -166,6 +166,12 @@ def install():
         _stub(name)
     sys.modules["pymeshlab"].MeshSet = type("MeshSet", (), {})
     sys.modules["pymeshlab"].Mesh = type("Mesh", (), {})
+    ply = _stub("plyfile")
+    ply.PlyData = type("PlyData", (), {})
+    ply.PlyElement = type("PlyElement", (), {})
+    _stub("utils3d")
+    _stub("igraph")
+    _stub("pyvista")
     tv = _stub("torchvision")
     tvt = _stub("torchvision.transforms")
     tv.transforms = tvt

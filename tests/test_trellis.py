@@ -1,0 +1,55 @@
+"""TRELLIS pipeline + node tests (tiny configs)."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.models.trellis import (TrellisConfig,
+                                        TrellisImageTo3DPipeline)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return TrellisImageTo3DPipeline.init_random(cfg=TrellisConfig.tiny())
+
+
+class TestPipeline:
+    def test_end_to_end(self, pipe):
+        img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+        out = pipe.run(img, seed=3)
+        gs = out["gaussian"]
+        assert gs.xyz.shape[1] == 3
+        assert np.isfinite(np.asarray(gs.xyz)).all()
+        mesh = out["mesh"]
+        assert mesh.v.shape[1] == 3 and mesh.f.shape[1] == 3
+
+    def test_deterministic_in_seed(self, pipe):
+        img = np.random.RandomState(1).rand(28, 28, 3).astype(np.float32)
+        cond = pipe.encode_image(img)
+        c1, m1 = pipe.sample_sparse_structure(cond, seed=9)
+        c2, m2 = pipe.sample_sparse_structure(cond, seed=9)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_slat_respects_mask(self, pipe):
+        img = np.random.RandomState(2).rand(28, 28, 3).astype(np.float32)
+        cond = pipe.encode_image(img)
+        coords, mask = pipe.sample_sparse_structure(cond, seed=1)
+        slat = pipe.sample_slat(cond, coords, mask, seed=1)
+        dead = ~np.asarray(mask)
+        assert np.all(np.asarray(slat.feats)[dead] == 0)
+
+
+class TestNode:
+    def test_node_runs(self, pipe, monkeypatch):
+        from comfy3d_tpu.nodes.graph import load_node_mappings
+        mappings = load_node_mappings()
+        node = mappings["[Comfy3D] Trellis Structured 3D Latents Models"]()
+        img = np.random.RandomState(0).rand(1, 28, 28, 3) \
+            .astype(np.float32)
+        mask = np.ones((1, 28, 28), np.float32)
+        mesh, splat = node.run_model(
+            pipe, img, mask, seed=2,
+            sparse_structure_sample_steps=2,
+            structured_latent_sample_steps=2)
+        assert mesh.v.shape[1] == 3
+        assert splat.xyz.shape[1] == 3
