@@ -178,6 +178,84 @@ class Multi_Background_Remover:
 
 
 @register
+class Load_Hunyuan3D_21_ShapeGen_Pipeline:
+    """reference nodes.py:5209 — the 2.1 shape DiT is the same
+    architecture as V2 (hy3dshape denoisers/hunyuan3ddit.py matches
+    hy3dgen's), loaded from the tencent/Hunyuan3D-2.1 layout."""
+
+    CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
+    RETURN_TYPES = ("DIFFUSERS_PIPE",)
+    RETURN_NAMES = ("shapegen_pipe",)
+    FUNCTION = "load"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "use_fp16": ("BOOLEAN", {"default": True}),
+        }}
+
+    def load(self, use_fp16=True):
+        from ..models.hunyuan3d import (Hunyuan3DShapeConfig,
+                                        Hunyuan3DShapePipeline)
+        root = os.path.join(base.CKPT_ROOT_PATH, "Diffusers", "tencent",
+                            "Hunyuan3D-2.1")
+        dit = os.path.join(root, "hunyuan3d-dit-v2-1",
+                           "model.fp16.safetensors")
+        vae = os.path.join(root, "hunyuan3d-vae-v2-1",
+                           "model.fp16.safetensors")
+        cfg = Hunyuan3DShapeConfig()
+        if os.path.exists(dit) and os.path.exists(vae):
+            pipe = Hunyuan3DShapePipeline.from_pretrained(dit, vae,
+                                                          cfg=cfg)
+        else:
+            print("[Load_Hunyuan3D_21_ShapeGen_Pipeline] checkpoints "
+                  f"not found under {root} — initializing random weights")
+            pipe = Hunyuan3DShapePipeline.init_random(cfg=cfg)
+        return (pipe,)
+
+
+@register
+class Hunyuan3D_21_ShapeGen:
+    """reference nodes.py:5397 — image → mesh + processed image."""
+
+    CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
+    RETURN_TYPES = ("MESH", "IMAGE")
+    RETURN_NAMES = ("mesh", "processed_image")
+    FUNCTION = "generate"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "shapegen_pipe": ("DIFFUSERS_PIPE",),
+            "image": ("IMAGE",),
+            "seed": ("INT", {"default": 1234, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "steps": ("INT", {"default": 30, "min": 1, "max": 100}),
+            "guidance_scale": ("FLOAT", {"default": 7.5, "min": 0.0,
+                                         "step": 0.1}),
+            "octree_resolution": ("INT", {"default": 256, "min": 64,
+                                          "max": 512}),
+            "remove_background": ("BOOLEAN", {"default": True}),
+            "auto_cleanup": ("BOOLEAN", {"default": True}),
+        }}
+
+    def generate(self, shapegen_pipe, image, seed=1234, steps=30,
+                 guidance_scale=7.5, octree_resolution=256,
+                 remove_background=True, auto_cleanup=True):
+        img = np.asarray(image, np.float32)
+        if img.ndim == 4:
+            img = img[0]
+        if remove_background:
+            alpha = _estimate_alpha(img)
+            img = img * alpha[..., None] + (1.0 - alpha[..., None])
+        mesh = shapegen_pipe(
+            img, seed=int(seed), num_steps=int(steps),
+            guidance_scale=float(guidance_scale),
+            octree_resolution=int(octree_resolution))[0]
+        return (_cleanup(mesh), img[None])
+
+
+@register
 class Hunyuan3D_V2_ShapeGen_MV:
     """reference nodes.py:4509 — list of RGBA views → mesh."""
 

@@ -1,0 +1,239 @@
+"""Texture / color-projection nodes (reference nodes.py:3045, 3137,
+5472)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import base
+from .base import register, error_none
+
+
+@register
+class ExplicitTarget_Color_Projection:
+    """reference nodes.py:3045 — project multiview images onto a mesh's
+    vertex colors (Unique3D `multiview_color_projection` role)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "reference_images": ("IMAGE",),
+            "reference_masks": ("MASK",),
+            "projection_resolution": ("INT", {"default": 1024,
+                                              "min": 128, "max": 8192}),
+            "complete_unseen_rgb": ("BOOLEAN", {"default": True}),
+            "render_orbit_camera_fovy": ("FLOAT",
+                                         {"default": 47.5, "min": 0.0,
+                                          "max": 180.0, "step": 0.1}),
+            "projection_weights": ("STRING",
+                                   {"default": "2.0, 0.2, 1.0, 0.2"}),
+            "confidence_threshold": ("FLOAT",
+                                     {"default": 0.02, "min": 0.001,
+                                      "max": 1.0, "step": 0.001}),
+        }, "optional": {
+            "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_color_projection"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_color_projection(self, mesh, reference_images,
+                             reference_masks,
+                             projection_resolution=1024,
+                             complete_unseen_rgb=True,
+                             render_orbit_camera_fovy=47.5,
+                             projection_weights="2.0, 0.2, 1.0, 0.2",
+                             confidence_threshold=0.02,
+                             reference_orbit_camera_poses=None):
+        import jax.numpy as jnp
+        from ..algorithms import color_project
+        from ..core import image as img_utils
+        from ..core.camera import Camera
+
+        imgs = np.asarray(img_utils.composite_background(
+            jnp.asarray(reference_images), jnp.asarray(reference_masks),
+            (1.0, 1.0, 1.0)))
+        n = imgs.shape[0]
+        if reference_orbit_camera_poses is None:
+            az = np.linspace(0.0, 360.0, n, endpoint=False)
+            poses = [[1.8, 0.0, a, 0, 0, 0] for a in az]
+        else:
+            poses = reference_orbit_camera_poses
+        if len(poses) != n:
+            return error_none(self.__class__.__name__,
+                              f"{n} images vs {len(poses)} poses")
+        poses = np.asarray(poses, np.float32)
+        cams = Camera.from_orbit(
+            poses[:, 1], poses[:, 2], poses[:, 0],
+            target=poses[:, 3:6], fovy_deg=render_orbit_camera_fovy,
+            width=int(projection_resolution),
+            height=int(projection_resolution))
+        mesh = color_project.project_and_inpaint(
+            mesh, imgs, cams,
+            confidence_min=float(confidence_threshold)
+            if complete_unseen_rgb else -1.0)
+        return (mesh,)
+
+
+@register
+class Convert_Vertex_Color_To_Texture:
+    """reference nodes.py:3137 — vertex colors → UV albedo texture."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "texture_resolution": ("INT", {"default": 1024, "min": 128,
+                                           "max": 8192}),
+            "batch_size": ("INT", {"default": 128, "min": 1}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_convert_func"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_convert_func(self, mesh, texture_resolution=1024,
+                         batch_size=128):
+        import jax.numpy as jnp
+        from ..ops import texture as T
+
+        if mesh.vc is None:
+            print(f"[{self.__class__.__name__}] no vertex colors; "
+                  "skipping")
+            return (mesh,)
+        if mesh.vt is None or mesh.ft is None:
+            vt, ft = T.box_unwrap(np.asarray(mesh.v),
+                                  np.asarray(mesh.f))
+            mesh.vt, mesh.ft = vt, ft
+        albedo = T.bake_vertex_colors(
+            jnp.asarray(mesh.v), jnp.asarray(mesh.f),
+            jnp.asarray(mesh.vt), jnp.asarray(mesh.ft),
+            jnp.asarray(mesh.vc),
+            texture_size=int(texture_resolution))
+        mesh.albedo = np.asarray(albedo)
+        return (mesh,)
+
+
+@register
+class Hunyuan3D_21_TexGen:
+    """reference nodes.py:5472 — textured mesh from reference image.
+
+    Simplified paint path: view-cos-weighted projection of the reference
+    image (front view) onto the mesh + graph inpaint + UV bake. The full
+    multiview PBR diffusion paint is the remaining delta
+    (hy3dpaint/textureGenPipeline.py:97-217)."""
+
+    CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("textured_mesh",)
+    FUNCTION = "generate"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "texgen_pipe": ("DIFFUSERS_PIPE",),
+            "mesh": ("MESH",),
+            "image": ("IMAGE",),
+            "create_pbr": ("BOOLEAN", {"default": True}),
+            "use_remesh": ("BOOLEAN", {"default": False}),
+        }}
+
+    def generate(self, texgen_pipe, mesh, image, create_pbr=True,
+                 use_remesh=False):
+        from ..algorithms import color_project
+        from ..core.camera import Camera
+
+        img = np.asarray(image, np.float32)
+        if img.ndim == 4:
+            img = img[0]
+        cam = Camera.from_orbit(0.0, 0.0, 1.9, width=img.shape[1],
+                                height=img.shape[0])
+        mesh = color_project.bake_projection(mesh, img[None], cam,
+                                             texture_size=1024)
+        return (mesh.auto_normal(),)
+
+
+@register
+class Load_Hunyuan3D_V2_TexGen_Pipeline:
+    """reference nodes.py:4365 — placeholder handle for the simplified
+    projection paint path (see Hunyuan3D_21_TexGen docstring)."""
+
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("DIFFUSERS_PIPE",)
+    RETURN_NAMES = ("texgen_pipe",)
+    FUNCTION = "load"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "model_variant": (["Turbo", "Standard"],),
+        }}
+
+    def load(self, model_variant="Turbo"):
+        return ({"variant": model_variant},)
+
+
+@register
+class Hunyuan3D_V2_Paint_Model_Turbo_MV:
+    """reference nodes.py:4410 — paint a mesh from 1-3 reference views
+    (simplified projection bake; the PBR multiview diffusion is the
+    remaining delta)."""
+
+    CATEGORY = "Comfy3D/Algorithm"
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "hunyuan3d_v2_texgen_pipe": ("DIFFUSERS_PIPE",),
+            "images": ("LIST",),
+            "mesh": ("MESH",),
+        }}
+
+    def run_model(self, hunyuan3d_v2_texgen_pipe, images, mesh):
+        from ..algorithms import color_project
+        from ..core.camera import Camera
+
+        views = []
+        for im in images:
+            im = np.asarray(im, np.float32)
+            if im.shape[-1] == 4:
+                a = im[..., 3:4]
+                im = im[..., :3] * a + (1.0 - a)
+            views.append(im)
+        azimuths = [0.0, 180.0, 90.0][:len(views)]
+        size = views[0].shape[0]
+        cams = Camera.from_orbit(
+            np.zeros(len(views), np.float32),
+            np.asarray(azimuths, np.float32), 1.9,
+            width=size, height=size)
+        mesh = color_project.bake_projection(
+            mesh, np.stack(views), cams, texture_size=1024)
+        return (mesh.auto_normal(),)
+
+
+@register
+class Load_Hunyuan3D_21_TexGen_Pipeline:
+    """reference nodes.py:5277 — placeholder handle (the simplified
+    paint path needs no weights; the PBR multiview model loads here once
+    implemented)."""
+
+    CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
+    RETURN_TYPES = ("DIFFUSERS_PIPE",)
+    RETURN_NAMES = ("texgen_pipe",)
+    FUNCTION = "load"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "model_variant": (["Turbo", "Standard"],),
+        }}
+
+    def load(self, model_variant="Turbo"):
+        return ({"variant": model_variant},)

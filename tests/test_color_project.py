@@ -1,0 +1,72 @@
+"""Multi-view color projection tests (Unique3D project_mesh /
+Hunyuan bake_from_multiview role)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfy3d_tpu.algorithms import color_project
+from comfy3d_tpu.core.camera import Camera
+from comfy3d_tpu.core.mesh import Mesh
+
+
+def make_sphere(n=24):
+    th = np.linspace(0, np.pi, n)
+    ph = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    v = np.stack([np.sin(T) * np.cos(P), np.cos(T),
+                  np.sin(T) * np.sin(P)], -1).reshape(-1, 3) * 0.5
+    f = []
+    for i in range(n - 1):
+        for j in range(n):
+            a = i * n + j
+            b = i * n + (j + 1) % n
+            c = (i + 1) * n + j
+            d = (i + 1) * n + (j + 1) % n
+            f += [[a, b, c], [b, d, c]]
+    return Mesh(v=v.astype(np.float32),
+                f=np.asarray(f, np.int32)).auto_normal()
+
+
+class TestProjection:
+    def test_front_view_paints_front_vertices(self):
+        mesh = make_sphere()
+        img = np.zeros((64, 64, 3), np.float32)
+        img[:, :, 0] = 1.0                      # solid red view
+        cam = Camera.from_orbit(0.0, 0.0, 2.0, width=64, height=64)
+        colors, conf = color_project.project_colors(mesh, img[None], cam)
+        conf = np.asarray(conf)
+        colors = np.asarray(colors)
+        campos = np.asarray(cam.campos)
+        vn = np.asarray(mesh.vn)
+        to_cam = campos[None] - np.asarray(mesh.v)
+        to_cam /= np.linalg.norm(to_cam, axis=-1, keepdims=True)
+        facing = (to_cam * vn).sum(-1) > 0.6
+        seen = conf > 1e-3
+        # most camera-facing vertices are seen and painted red
+        assert seen[facing].mean() > 0.8
+        np.testing.assert_allclose(colors[seen][:, 0], 1.0, atol=1e-3)
+        np.testing.assert_allclose(colors[seen][:, 1:], 0.0, atol=1e-3)
+        # back-facing vertices are not seen
+        back = (to_cam * vn).sum(-1) < -0.3
+        assert seen[back].mean() < 0.05
+
+    def test_inpaint_completes_unseen(self):
+        mesh = make_sphere()
+        img = np.full((48, 48, 3), 0.5, np.float32)
+        cam = Camera.from_orbit(0.0, 0.0, 2.0, width=48, height=48)
+        mesh = color_project.project_and_inpaint(mesh, img[None], cam)
+        assert mesh.vc is not None
+        assert np.isfinite(mesh.vc).all()
+        # every vertex (incl. unseen) ends up near the projected gray
+        assert np.abs(mesh.vc - 0.5).max() < 0.2
+
+    def test_bake_projection_produces_texture(self):
+        mesh = make_sphere(n=12)
+        img = np.full((32, 32, 3), 0.25, np.float32)
+        cam = Camera.from_orbit(0.0, 0.0, 2.0, width=32, height=32)
+        mesh = color_project.bake_projection(mesh, img[None], cam,
+                                             texture_size=64)
+        assert mesh.albedo is not None
+        assert mesh.albedo.shape[0] == 64
