@@ -89,16 +89,17 @@ def bench_triposr_image_to_mesh():
 
     pipe = TripoSRPipeline.init_random()
     img = np.random.RandomState(0).rand(1, 512, 512, 3).astype(np.float32)
-    # warm the compile path once
+    # warm the compile path once (192³: 256³ crashes the remote AOT
+    # compile helper on the tunnel; same asymptotics)
     codes = pipe.scene_codes(img)
-    mesh = pipe.extract_mesh(codes[0], resolution=256, threshold=5.0,
+    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=5.0,
                              with_color=True)
     t0 = time.perf_counter()
     codes = pipe.scene_codes(img)
-    mesh = pipe.extract_mesh(codes[0], resolution=256, threshold=5.0,
+    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=5.0,
                              with_color=True)
     dt = time.perf_counter() - t0
-    log(f"[bench] TripoSR image → mesh (256³ grid): {dt:.2f} s "
+    log(f"[bench] TripoSR image → mesh (192³ grid): {dt:.2f} s "
         f"({mesh.num_vertices} verts)")
     return dt
 
@@ -115,13 +116,13 @@ def bench_instantmesh_wallclock():
         np.array([30., 90., 150., 210., 270., 330.]),
         np.array([20., -10., 20., -10., 20., -10.]))[None]
     planes = pipe.forward_planes(imgs, cams)
-    mesh = pipe.extract_mesh(planes[0], resolution=128)
+    mesh = pipe.extract_mesh(planes[0], resolution=96)
     jax.block_until_ready(planes)
     t0 = time.perf_counter()
     planes = pipe.forward_planes(imgs, cams)
-    mesh = pipe.extract_mesh(planes[0], resolution=128)
+    mesh = pipe.extract_mesh(planes[0], resolution=96)
     dt = time.perf_counter() - t0
-    log(f"[bench] InstantMesh 6×320² → mesh (128³): {dt:.2f} s")
+    log(f"[bench] InstantMesh 6×320² → mesh (96³): {dt:.2f} s")
     return dt
 
 

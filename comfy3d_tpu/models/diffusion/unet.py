@@ -45,6 +45,14 @@ class UNetConfig:
     # >1 → MVDream-style 3D self-attention: the batch is B·mv_views and
     # every self-attention attends across all views' tokens jointly
     mv_views: int = 1
+    # Wonder3D cross-domain joint attention: the batch is 2·B·mv_views
+    # (normal + color domains) and every block adds attn_joint_mid
+    # (transformer_mv2d.py:509-526)
+    cd_joint: bool = False
+    # Era3D row-wise ("epipolar") multiview self-attention: tokens
+    # attend within their image row across views
+    # (Era3D transformer_mv2d_rowwise.py:689-705)
+    mv_rowwise: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -119,6 +127,10 @@ class TransformerBlock(nn.Module):
     heads: int
     dim_head: int
     context_dim: int
+    cd_joint: bool = False        # Wonder3D cross-domain attention
+    mv_views: int = 1             # needed to unfold frames for cd_joint
+    mv_rowwise: bool = False      # Era3D row-wise multiview attention
+    spatial_h: int = 0            # token-grid height (rowwise only)
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -127,8 +139,41 @@ class TransformerBlock(nn.Module):
         if ref_mode == "write":
             written = h
         extra = ref_hidden if ref_mode == "read" else None
-        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               name="attn1")(h, extra_kv=extra)
+        attn1 = CrossAttention(self.dim, self.heads, self.dim_head,
+                               name="attn1")
+        if self.mv_rowwise:
+            # "(b v) (h w) c -> (b h) (v w) c": every token attends
+            # within its image row across all views
+            b, t, c0 = h.shape
+            v = self.mv_views
+            hh = self.spatial_h
+            ww = t // hh
+            hr = h.reshape(b // v, v, hh, ww, c0)
+            hr = hr.transpose(0, 2, 1, 3, 4).reshape(
+                (b // v) * hh, v * ww, c0)
+            out = attn1(hr)
+            out = out.reshape(b // v, hh, v, ww, c0)
+            out = out.transpose(0, 2, 1, 3, 4).reshape(b, t, c0)
+            x = x + out
+        else:
+            x = x + attn1(h, extra_kv=extra)
+        if self.cd_joint:
+            # Wonder3D cd_attention_mid (transformer_mv2d.py:509-526,
+            # JointAttnProcessor:909-961): per frame, kv = that frame's
+            # tokens from BOTH domains; batch is domain-major [2, B, V].
+            # Unfold the mv fold back to frames so the joint semantics
+            # match the reference exactly (rowwise mode never folds).
+            b, t, c = x.shape
+            v = 1 if self.mv_rowwise else self.mv_views
+            frames = x.reshape(b * v, t // v, c)
+            h = nn.LayerNorm(name="norm_joint_mid")(frames)
+            half = (b * v) // 2
+            pair = jnp.concatenate([h[:half], h[half:]], axis=1)
+            kv = jnp.concatenate([pair, pair], axis=0)   # [2·half, 2T, C]
+            frames = frames + CrossAttention(
+                self.dim, self.heads, self.dim_head,
+                name="attn_joint_mid")(h, context=kv)
+            x = frames.reshape(b, t, c)
         h = nn.LayerNorm(name="norm2")(x)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
                                self.context_dim, name="attn2")(
@@ -151,6 +196,8 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     norm_groups: int = 32
     mv_views: int = 1
+    cd_joint: bool = False
+    mv_rowwise: bool = False
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -159,7 +206,8 @@ class SpatialTransformer(nn.Module):
         hid = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name="norm")(x)
         hid = hid.reshape(b, h * w, c)
         hid = nn.Dense(self.channels, name="proj_in")(hid)
-        v = self.mv_views
+        v = 1 if self.mv_rowwise else self.mv_views
+        # rowwise restructures inside attn1 — no token fold here
         if v > 1:
             hid = hid.reshape(b // v, v * h * w, self.channels)
             context = context.reshape(b // v, v, *context.shape[1:])[:, 0]
@@ -168,7 +216,10 @@ class SpatialTransformer(nn.Module):
             rh = ref_hidden[i] if ref_hidden is not None else None
             hid, wr = TransformerBlock(
                 self.channels, self.heads, self.dim_head,
-                self.context_dim, name=f"blocks_{i}")(
+                self.context_dim, cd_joint=self.cd_joint,
+                mv_views=max(self.mv_views, 1),
+                mv_rowwise=self.mv_rowwise,
+                spatial_h=h, name=f"blocks_{i}")(
                 hid, context, ref_mode=ref_mode, ref_hidden=rh)
             written.append(wr)
         if v > 1:
@@ -246,6 +297,7 @@ class UNet2DCondition(nn.Module):
                     h, wr = SpatialTransformer(
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
+                        cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
                         name=f"down_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)
@@ -265,6 +317,7 @@ class UNet2DCondition(nn.Module):
         h, wr = SpatialTransformer(
             mid_ch, heads, dim_head, c.cross_attention_dim,
             norm_groups=c.norm_groups, mv_views=c.mv_views,
+            cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
             name="mid_attn")(
             h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
         if ref_mode == "write":
@@ -287,6 +340,7 @@ class UNet2DCondition(nn.Module):
                     h, wr = SpatialTransformer(
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
+                        cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
                         name=f"up_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)

@@ -103,11 +103,11 @@ class InstantMeshPipeline:
         # Chunk the tet sweep: 128³ grids carry 12.3M tets and one-shot
         # [T,4,3] temporaries blow past v5e HBM (bench OOM at 18.9 GB)
         tet_chunk = 1 << 21
-        extract = jax.jit(lambda t: tetra.marching_tets_diff(v_def, sdf,
-                                                             t))
+        extract = jax.jit(tetra.marching_tets_diff)
         tri_list = []
         for i in range(0, tets_arr.shape[0], tet_chunk):
-            tris, valid = extract(jnp.asarray(tets_arr[i:i + tet_chunk]))
+            tris, valid = extract(v_def, sdf,
+                                  jnp.asarray(tets_arr[i:i + tet_chunk]))
             tri_list.append(np.asarray(tris)[np.asarray(valid)])
         tris = np.concatenate(tri_list) if tri_list else \
             np.zeros((0, 3, 3), np.float32)

@@ -1,0 +1,84 @@
+"""Wonder3D + Era3D pipeline tests (tiny configs) incl. attention-mode
+semantics (cross-domain joint + row-wise)."""
+
+import dataclasses as dc
+import sys
+
+import numpy as np
+import pytest
+
+import test_diffusion as td
+from comfy3d_tpu.models.wonder3d import Wonder3DConfig, Wonder3DPipeline
+from comfy3d_tpu.models.era3d import Era3DConfig, Era3DPipeline
+
+
+@pytest.fixture(scope="module")
+def w3d():
+    cfg = Wonder3DConfig(
+        image_size=32, num_views=6, prompt_dim=16,
+        unet=dc.replace(td.tiny_unet_cfg(), in_channels=8, out_channels=4,
+                        mv_views=6, cd_joint=True,
+                        cross_attention_dim=16),
+        vae=td.tiny_vae_cfg())
+    return Wonder3DPipeline.init_random(cfg=cfg)
+
+
+@pytest.fixture(scope="module")
+def era3d():
+    cfg = Era3DConfig(
+        image_size=32, num_views=6, prompt_tokens=7, prompt_dim=16,
+        unet=dc.replace(td.tiny_unet_cfg(), in_channels=8, out_channels=4,
+                        mv_views=6, mv_rowwise=True, cd_joint=True,
+                        cross_attention_dim=16),
+        vae=td.tiny_vae_cfg())
+    return Era3DPipeline.init_random(cfg=cfg)
+
+
+class TestWonder3D:
+    def test_joint_rgb_normal_output(self, w3d):
+        img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+        colors, normals = w3d(img, num_inference_steps=2)
+        assert colors.shape == (6, 32, 32, 3)
+        assert normals.shape == (6, 32, 32, 3)
+        assert np.isfinite(np.asarray(colors)).all()
+        # views and domains must differ (mv + cd attention active)
+        assert not np.allclose(np.asarray(colors[0]),
+                               np.asarray(colors[1]))
+        assert not np.allclose(np.asarray(colors[0]),
+                               np.asarray(normals[0]))
+
+    def test_seed_determinism(self, w3d):
+        img = np.random.RandomState(1).rand(32, 32, 3).astype(np.float32)
+        a, _ = w3d(img, num_inference_steps=1, seed=3)
+        b, _ = w3d(img, num_inference_steps=1, seed=3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEra3D:
+    def test_rowwise_pipeline_runs(self, era3d):
+        img = np.random.RandomState(2).rand(32, 32, 3).astype(np.float32)
+        colors, normals = era3d(img, num_inference_steps=2)
+        assert colors.shape == (6, 32, 32, 3)
+        assert np.isfinite(np.asarray(colors)).all()
+
+    def test_prompt_embeds_change_output(self, era3d):
+        img = np.random.RandomState(3).rand(32, 32, 3).astype(np.float32)
+        base, _ = era3d(img, num_inference_steps=1, seed=1)
+        era3d.set_prompt_embeds(
+            np.random.RandomState(4).randn(12, 7, 16).astype(np.float32))
+        mod, _ = era3d(img, num_inference_steps=1, seed=1)
+        era3d.set_prompt_embeds(np.zeros((12, 7, 16), np.float32))
+        assert np.abs(np.asarray(base) - np.asarray(mod)).max() > 1e-6
+
+
+class TestNodes:
+    def test_wonder3d_node(self, w3d):
+        from comfy3d_tpu.nodes.graph import load_node_mappings
+        mappings = load_node_mappings()
+        node = mappings["[Comfy3D] Wonder3D MVDiffusion Model"]()
+        img = np.random.RandomState(0).rand(1, 32, 32, 3) \
+            .astype(np.float32)
+        mask = np.ones((1, 32, 32), np.float32)
+        colors, normals, poses = node.run_model(
+            w3d, img, mask, num_inference_steps=1)
+        assert colors.shape[0] == 6 and len(poses) == 6
