@@ -1,0 +1,99 @@
+"""RRDBNet (RealESRGAN role) parity vs a torch oracle in the basicsr
+layout, + upscale behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from comfy3d_tpu.models.esrgan import (RRDBConfig, RRDBNet, convert_rrdb,
+                                       upscale)
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_rrdbnet(num_feat=8, num_block=2, num_grow_ch=4):
+    """basicsr RRDBNet replica (arch + key layout oracle)."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    class RDB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            nf, gc = num_feat, num_grow_ch
+            self.conv1 = tnn.Conv2d(nf, gc, 3, 1, 1)
+            self.conv2 = tnn.Conv2d(nf + gc, gc, 3, 1, 1)
+            self.conv3 = tnn.Conv2d(nf + 2 * gc, gc, 3, 1, 1)
+            self.conv4 = tnn.Conv2d(nf + 3 * gc, gc, 3, 1, 1)
+            self.conv5 = tnn.Conv2d(nf + 4 * gc, nf, 3, 1, 1)
+
+        def forward(self, x):
+            l = lambda a: F.leaky_relu(a, 0.2)
+            x1 = l(self.conv1(x))
+            x2 = l(self.conv2(torch.cat([x, x1], 1)))
+            x3 = l(self.conv3(torch.cat([x, x1, x2], 1)))
+            x4 = l(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+            x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+            return x5 * 0.2 + x
+
+    class RRDBt(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rdb1, self.rdb2, self.rdb3 = RDB(), RDB(), RDB()
+
+        def forward(self, x):
+            return self.rdb3(self.rdb2(self.rdb1(x))) * 0.2 + x
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            nf = num_feat
+            self.conv_first = tnn.Conv2d(3, nf, 3, 1, 1)
+            self.body = tnn.Sequential(*[RRDBt()
+                                         for _ in range(num_block)])
+            self.conv_body = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_hr = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = tnn.Conv2d(nf, 3, 3, 1, 1)
+
+        def forward(self, x):
+            l = lambda a: F.leaky_relu(a, 0.2)
+            feat = self.conv_first(x)
+            feat = feat + self.conv_body(self.body(feat))
+            feat = l(self.conv_up1(
+                F.interpolate(feat, scale_factor=2, mode="nearest")))
+            feat = l(self.conv_up2(
+                F.interpolate(feat, scale_factor=2, mode="nearest")))
+            return self.conv_last(l(self.conv_hr(feat)))
+
+    torch.manual_seed(0)
+    return Net().eval()
+
+
+def test_rrdbnet_parity():
+    net = _torch_rrdbnet()
+    x = np.random.RandomState(0).rand(1, 12, 12, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_rrdb(sd)
+    cfg = RRDBConfig(num_feat=8, num_block=2, num_grow_ch=4)
+    ours = RRDBNet(cfg).apply({"params": params},
+                              np.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_upscale_4x_shape_and_tiles():
+    cfg = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4)
+    params = RRDBNet(cfg).init(jax.random.PRNGKey(0),
+                               np.zeros((1, 8, 8, 3),
+                                        np.float32))["params"]
+    img = np.random.RandomState(1).rand(16, 12, 3).astype(np.float32)
+    out = np.asarray(upscale(params, img, cfg))
+    assert out.shape == (64, 48, 3)
+    tiled = np.asarray(upscale(params, img, cfg, tile=8))
+    assert tiled.shape == (64, 48, 3)
+    interior = (slice(8, -8), slice(8, -8))
+    assert np.abs(out[interior] - tiled[interior]).max() < 0.2
