@@ -318,3 +318,71 @@ class Large_Multiview_Gaussian_Model:
                 f"expected {lgm_model.cfg.num_views} views, got "
                 f"{imgs.shape[0]}")
         return (lgm_model.forward_gaussians(imgs),)
+
+
+@register
+class Load_SF3D_Model:
+    """reference nodes.py:2034."""
+
+    checkpoints_dir = "StableFast3D"
+    default_ckpt_name = "model.safetensors"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        cls.checkpoints_dir_abs = os.path.join(base.CKPT_ROOT_PATH,
+                                               cls.checkpoints_dir)
+        names = base.get_list_filenames(
+            cls.checkpoints_dir_abs, base.SUPPORTED_CHECKPOINTS_EXTENSIONS)
+        if cls.default_ckpt_name not in names:
+            names = names + [cls.default_ckpt_name]
+        return {"required": {"model_name": (names,)}}
+
+    RETURN_TYPES = ("SF3D_MODEL",)
+    RETURN_NAMES = ("sf3d_model",)
+    FUNCTION = "load_SF3D"
+    CATEGORY = "Comfy3D/Import|Export"
+
+    def load_SF3D(self, model_name="model.safetensors"):
+        from ..models.sf3d import SF3DPipeline
+        ckpt = os.path.join(
+            getattr(self.__class__, "checkpoints_dir_abs",
+                    os.path.join(base.CKPT_ROOT_PATH,
+                                 self.checkpoints_dir)), model_name)
+        if os.path.exists(ckpt):
+            print(f"[Load_SF3D_Model] converter for {ckpt} pending — "
+                  "initializing random weights")
+        pipe = SF3DPipeline.init_random()
+        return (pipe,)
+
+
+@register
+class StableFast3D:
+    """reference nodes.py:2079 — image+mask → textured mesh."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "sf3d_model": ("SF3D_MODEL",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "texture_resolution": ("INT", {"default": 1024, "min": 128,
+                                           "max": 8192}),
+            "remesh_option": (["None", "Triangle", "Quad"],),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_SF3D"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_SF3D(self, sf3d_model, reference_image, reference_mask,
+                 texture_resolution=1024, remesh_option="None"):
+        import jax.numpy as jnp
+        from ..core import image as img_utils
+
+        img = np.asarray(img_utils.composite_background(
+            jnp.asarray(reference_image), jnp.asarray(reference_mask),
+            (0.5, 0.5, 0.5)))[0]
+        mesh = sf3d_model.run_image(
+            img, texture_size=int(texture_resolution))
+        return (mesh,)

@@ -1,0 +1,48 @@
+"""StableFast3D pipeline tests (tiny config)."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.models.sf3d import SF3DConfig, SF3DPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SF3DPipeline.init_random(cfg=SF3DConfig.tiny())
+
+
+def test_forward_planes_shape(pipe):
+    img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+    planes = pipe.forward_planes(img)
+    c = pipe.cfg
+    assert planes.shape == (1, 3, 4 * c.plane_size, 4 * c.plane_size,
+                            c.triplane_channels)
+    assert np.isfinite(np.asarray(planes)).all()
+
+
+def test_full_mesh_with_texture(pipe):
+    img = np.random.RandomState(1).rand(28, 28, 3).astype(np.float32)
+    planes = pipe.forward_planes(img)
+    mesh = pipe.generate_mesh(planes[0], threshold=1.0, texture_size=64)
+    assert mesh.v.shape[1] == 3
+    if mesh.num_vertices:                     # random-weight field
+        assert mesh.albedo is not None and mesh.albedo.shape[0] == 64
+        assert mesh.vt is not None
+
+
+def test_material_heads_contract(pipe):
+    import jax.numpy as jnp
+    from comfy3d_tpu.models.sf3d.pipeline import SF3DModel
+    img = np.random.RandomState(2).rand(28, 28, 3).astype(np.float32)
+    planes = pipe.forward_planes(img)
+    pts = np.random.RandomState(3).rand(17, 3).astype(np.float32) - 0.5
+    out = SF3DModel(pipe.cfg).apply({"params": pipe.params}, planes[0],
+                                    jnp.asarray(pts),
+                                    method=SF3DModel.query)
+    assert set(out) == {"density", "features", "perturb_normal",
+                        "vertex_offset"}
+    assert np.all(np.asarray(out["density"]) >= 0)          # trunc_exp
+    assert np.all((np.asarray(out["features"]) >= 0)
+                  & (np.asarray(out["features"]) <= 1))     # sigmoid
+    n = np.linalg.norm(np.asarray(out["perturb_normal"]), axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)           # normalized
