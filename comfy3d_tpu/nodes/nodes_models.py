@@ -386,3 +386,64 @@ class StableFast3D:
         mesh = sf3d_model.run_image(
             img, texture_size=int(texture_resolution))
         return (mesh,)
+
+
+@register
+class Load_Triplane_Gaussian_Transformers:
+    """reference nodes.py:1420."""
+
+    checkpoints_dir = "TriplaneGaussian"
+    default_ckpt_name = "model_lvis_rel.ckpt"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        cls.checkpoints_dir_abs = os.path.join(base.CKPT_ROOT_PATH,
+                                               cls.checkpoints_dir)
+        names = base.get_list_filenames(
+            cls.checkpoints_dir_abs, base.SUPPORTED_CHECKPOINTS_EXTENSIONS)
+        if cls.default_ckpt_name not in names:
+            names = names + [cls.default_ckpt_name]
+        return {"required": {"model_name": (names,)}}
+
+    RETURN_TYPES = ("TGS_MODEL",)
+    RETURN_NAMES = ("tgs_model",)
+    FUNCTION = "load_TGS"
+    CATEGORY = "Comfy3D/Import|Export"
+
+    def load_TGS(self, model_name="model_lvis_rel.ckpt"):
+        from ..models.tgs import TGSPipeline
+        pipe = TGSPipeline.init_random()
+        return (pipe,)
+
+
+@register
+class Triplane_Gaussian_Transformers:
+    """reference nodes.py:1465 — image+mask → GS_PLY."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "tgs_model": ("TGS_MODEL",),
+            "cam_dist": ("FLOAT", {"default": 1.9, "min": 0.01,
+                                   "step": 0.01}),
+        }}
+
+    RETURN_TYPES = ("GS_PLY",)
+    RETURN_NAMES = ("gs_ply",)
+    FUNCTION = "run_TGS"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_TGS(self, reference_image, reference_mask, tgs_model,
+                cam_dist=1.9):
+        import jax.numpy as jnp
+        from ..core import image as img_utils
+
+        img = np.asarray(img_utils.composite_background(
+            jnp.asarray(reference_image), jnp.asarray(reference_mask),
+            (1.0, 1.0, 1.0)))[0]
+        cam = tgs_model.default_camera()
+        cam[0, 11] = float(cam_dist)          # c2w z-translation entry
+        splat = tgs_model(img, camera=cam)
+        return (splat,)

@@ -1,0 +1,44 @@
+"""TriplaneGaussian pipeline tests (tiny config)."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.models.tgs import TGSConfig, TGSPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return TGSPipeline.init_random(cfg=TGSConfig.tiny())
+
+
+def test_image_to_gaussians(pipe):
+    img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+    splat = pipe(img)
+    n = pipe.cfg.num_points * int(np.prod(pipe.cfg.up_factors))
+    assert splat.xyz.shape == (n, 3)
+    assert np.isfinite(np.asarray(splat.xyz)).all()
+    # points bounded to the radius box (+ small offsets)
+    assert np.abs(np.asarray(splat.xyz)).max() <= pipe.cfg.radius + 0.2
+    # scaling clipped (GSLayer clip_scaling)
+    assert np.asarray(splat.scale).max() <= pipe.cfg.clip_scaling + 1e-5
+
+
+def test_renders_through_gs_renderer(pipe):
+    from comfy3d_tpu.core.camera import Camera
+    from comfy3d_tpu.ops import gs_render
+    img = np.random.RandomState(1).rand(28, 28, 3).astype(np.float32)
+    splat = pipe(img)
+    cam = Camera.from_orbit(10.0, 30.0, 1.9, width=64, height=64)
+    out = gs_render.render(splat, cam)
+    assert out["image"].shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_node(pipe):
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    mappings = load_node_mappings()
+    node = mappings["[Comfy3D] Triplane Gaussian Transformers"]()
+    img = np.random.RandomState(0).rand(1, 28, 28, 3).astype(np.float32)
+    mask = np.ones((1, 28, 28), np.float32)
+    (splat,) = node.run_TGS(img, mask, pipe)
+    assert splat.xyz.shape[1] == 3
