@@ -1,0 +1,151 @@
+"""TripoSG: image → mesh via rectified-flow latent-set diffusion.
+
+Counterpart of `Gen_3D_Modules/TripoSG/pipelines/pipeline_triposg.py`:
+DINOv2 conditioning → UNet-skip DiT flow sampling (noise at σ=1,
+descending schedule, x ← x + (σ_next − σ)·v) → vecset VAE decode →
+dense SDF grid → marching tets. The VAE is the shared
+`models.vecset.ShapeVAE` (TripoSG's TripoSGVAEModel is the same
+latent-set autoencoder shape: post-quant linear → transformer →
+query cross-attention decoder)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
+from ..vecset import ShapeVAE, ShapeVAEConfig
+from ..vecset.vae import decode_volume, grid_to_mesh
+from .dit import TripoSGDiT, TripoSGDiTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TripoSGConfig:
+    dit: TripoSGDiTConfig = TripoSGDiTConfig()
+    vae: ShapeVAEConfig = ShapeVAEConfig(num_latents=2048, embed_dim=64,
+                                         width=1024, heads=8,
+                                         num_decoder_layers=16,
+                                         scale_factor=1.0)
+    cond: Dinov2Config = Dinov2Config(hidden=1024, layers=24, heads=16)
+    image_size: int = 518
+    num_steps: int = 50
+    guidance_scale: float = 7.0
+    shift: float = 1.0
+
+    @classmethod
+    def tiny(cls) -> "TripoSGConfig":
+        return cls(
+            dit=TripoSGDiTConfig(width=32, in_channels=8, num_layers=3,
+                                 heads=2, cross_attention_dim=32),
+            vae=ShapeVAEConfig(num_latents=16, embed_dim=8, width=32,
+                               heads=2, num_decoder_layers=1,
+                               scale_factor=1.0),
+            cond=Dinov2Config(hidden=32, layers=1, heads=2, patch=14,
+                              pretrain_image_size=28),
+            image_size=28, num_steps=3)
+
+
+class TripoSGPipeline:
+    def __init__(self, params, cfg: TripoSGConfig):
+        self.cfg = cfg
+        self.dit = TripoSGDiT(cfg.dit)
+        self.vae = ShapeVAE(cfg.vae)
+        self.cond_model = Dinov2(cfg.cond)
+        self.params = params
+
+    @classmethod
+    def init_random(cls, key=None, cfg: Optional[TripoSGConfig] = None
+                    ) -> "TripoSGPipeline":
+        cfg = cfg or TripoSGConfig()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = cfg.image_size
+        nl, ed = cfg.vae.num_latents, cfg.vae.embed_dim
+        params = {
+            "cond": Dinov2(cfg.cond).init(
+                k1, jnp.zeros((1, s, s, 3)))["params"],
+            "dit": TripoSGDiT(cfg.dit).init(
+                k2, jnp.zeros((1, nl, ed)), jnp.zeros((1,)),
+                jnp.zeros((1, 5, cfg.dit.cross_attention_dim)))["params"],
+            "vae": ShapeVAE(cfg.vae).init(
+                k3, jnp.zeros((1, nl, ed)), jnp.zeros((1, 7, 3)),
+                method=ShapeVAE.init_all)["params"],
+        }
+        return cls(params, cfg)
+
+    def encode_cond(self, image):
+        c = self.cfg
+        image = jnp.asarray(image, jnp.float32)
+        if image.ndim == 3:
+            image = image[None]
+        s = c.image_size
+        if image.shape[1] != s or image.shape[2] != s:
+            image = jax.image.resize(image,
+                                     (image.shape[0], s, s, 3), "bilinear")
+        image = (image - IMAGENET_MEAN) / IMAGENET_STD
+        cond = self.cond_model.apply({"params": self.params["cond"]},
+                                     image)
+        return jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _sample(self, dit_params, cond, noise, num_steps: int,
+                guidance_scale):
+        c = self.cfg
+        s = np.linspace(1.0, 0.0, num_steps + 1)
+        s = c.shift * s / (1.0 + (c.shift - 1.0) * s)
+        sigmas = jnp.asarray(s, jnp.float32)
+
+        def step(x, i):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t = jnp.broadcast_to(1000.0 * sigmas[i], (x2.shape[0],))
+            v = self.dit.apply({"params": dit_params}, x2, t, cond)
+            vc, vu = jnp.split(v, 2, axis=0)
+            v = vu + guidance_scale * (vc - vu)
+            return x + (sigmas[i + 1] - sigmas[i]) * v, None
+
+        x, _ = jax.lax.scan(step, noise, jnp.arange(num_steps))
+        return x
+
+    def sample_latents(self, image, seed: int = 0,
+                       num_steps: Optional[int] = None,
+                       guidance_scale: Optional[float] = None):
+        c = self.cfg
+        cond = self.encode_cond(image)
+        b = cond.shape[0] // 2
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (b, c.vae.num_latents, c.vae.embed_dim))
+        gs = (guidance_scale if guidance_scale is not None
+              else c.guidance_scale)
+        return self._sample(self.params["dit"], cond, noise,
+                            num_steps or c.num_steps, jnp.float32(gs))
+
+    def latents_to_mesh(self, latents, octree_resolution: int = 256,
+                        bounds: float = 1.01, num_chunks: int = 65536):
+        c = self.cfg
+        latents = latents / c.vae.scale_factor
+        decoded = self.vae.apply({"params": self.params["vae"]}, latents)
+
+        def q(params, dec, pts):
+            return self.vae.apply({"params": params}, dec, pts,
+                                  method=ShapeVAE.query)
+
+        grids = decode_volume(q, self.params["vae"], decoded,
+                              octree_resolution=octree_resolution,
+                              bounds=bounds, num_chunks=num_chunks)
+        return [grid_to_mesh(g, bounds=bounds)
+                for g in np.asarray(grids, np.float32)]
+
+    def __call__(self, image, seed: int = 0,
+                 num_steps: Optional[int] = None,
+                 guidance_scale: Optional[float] = None,
+                 octree_resolution: int = 256, num_chunks: int = 65536):
+        latents = self.sample_latents(image, seed, num_steps,
+                                      guidance_scale)
+        return self.latents_to_mesh(latents, octree_resolution,
+                                    num_chunks=num_chunks)

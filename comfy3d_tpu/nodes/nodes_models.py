@@ -447,3 +447,64 @@ class Triplane_Gaussian_Transformers:
         cam[0, 11] = float(cam_dist)          # c2w z-translation entry
         splat = tgs_model(img, camera=cam)
         return (splat,)
+
+
+@register
+class TripoSG_I23D_Model:
+    """reference nodes.py:4157 — image+mask → mesh via rectified-flow
+    latent-set diffusion."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "triposg_pipe": ("DIFFUSERS_PIPE",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "seed": ("INT", {"default": 42, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "guidance_scale": ("FLOAT", {"default": 7.0, "min": 0.0,
+                                         "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
+            "octree_resolution": ("INT", {"default": 256, "min": 64}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_model(self, triposg_pipe, reference_image, reference_mask,
+                  seed=42, guidance_scale=7.0, num_inference_steps=50,
+                  octree_resolution=256):
+        import jax.numpy as jnp
+        from ..core import image as img_utils
+
+        img = np.asarray(img_utils.composite_background(
+            jnp.asarray(reference_image), jnp.asarray(reference_mask),
+            (1.0, 1.0, 1.0)))[0]
+        mesh = triposg_pipe(
+            img, seed=int(seed), num_steps=int(num_inference_steps),
+            guidance_scale=float(guidance_scale),
+            octree_resolution=int(octree_resolution))[0]
+        return (mesh.auto_normal(),)
+
+
+@register
+class Load_TripoSG_Pipeline:
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("DIFFUSERS_PIPE",)
+    RETURN_NAMES = ("triposg_pipe",)
+    FUNCTION = "load"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "repo_id": ("STRING", {"default": "VAST-AI/TripoSG",
+                                   "multiline": False}),
+        }}
+
+    def load(self, repo_id="VAST-AI/TripoSG"):
+        from ..models.triposg import TripoSGPipeline
+        print(f"[Load_TripoSG_Pipeline] initializing random weights "
+              f"(no local checkpoints for {repo_id})")
+        return (TripoSGPipeline.init_random(),)

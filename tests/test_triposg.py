@@ -1,0 +1,49 @@
+"""TripoSG pipeline tests (tiny config): UNet-skip DiT + flow sampling
+-> vecset decode -> mesh."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfy3d_tpu.models.triposg import (TripoSGConfig, TripoSGDiT,
+                                        TripoSGDiTConfig,
+                                        TripoSGPipeline)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return TripoSGPipeline.init_random(cfg=TripoSGConfig.tiny())
+
+
+def test_dit_time_token_and_skips():
+    cfg = TripoSGDiTConfig(width=32, in_channels=8, num_layers=5,
+                           heads=2, cross_attention_dim=16)
+    import jax
+    x = np.random.RandomState(0).randn(2, 10, 8).astype(np.float32)
+    t = np.array([100.0, 900.0], np.float32)
+    ctx = np.random.RandomState(1).randn(2, 4, 16).astype(np.float32)
+    params = TripoSGDiT(cfg).init(jax.random.PRNGKey(0), jnp.asarray(x),
+                                  jnp.asarray(t),
+                                  jnp.asarray(ctx))["params"]
+    # skip blocks exist only in the second half
+    assert "skip_linear" in params["blocks_3"]
+    assert "skip_linear" not in params["blocks_1"]
+    out = TripoSGDiT(cfg).apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(t), jnp.asarray(ctx))
+    assert out.shape == x.shape          # time token sliced back off
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_end_to_end(pipe):
+    img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+    meshes = pipe(img, seed=2, octree_resolution=24, num_chunks=4096)
+    m = meshes[0]
+    assert m.v.shape[1] == 3 and m.f.shape[1] == 3
+
+
+def test_deterministic(pipe):
+    img = np.random.RandomState(1).rand(28, 28, 3).astype(np.float32)
+    a = np.asarray(pipe.sample_latents(img, seed=5))
+    b = np.asarray(pipe.sample_latents(img, seed=5))
+    np.testing.assert_array_equal(a, b)
