@@ -1,0 +1,90 @@
+"""Mip-chain texture sampling + antialias tests (nvdiffrast dr.texture /
+dr.antialias parity roles, VERDICT round-1 item #8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comfy3d_tpu.ops import rasterize as R
+
+
+class TestMips:
+    def test_chain_shapes_and_averages(self):
+        tex = jnp.asarray(
+            np.random.RandomState(0).rand(16, 16, 3).astype(np.float32))
+        mips = R.build_mip_chain(tex)
+        assert [m.shape[0] for m in mips] == [16, 8, 4, 2, 1]
+        np.testing.assert_allclose(np.asarray(mips[1][0, 0]),
+                                   np.asarray(tex[:2, :2].mean((0, 1))),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mips[-1]).mean(),
+                                   np.asarray(tex).mean(), atol=1e-6)
+
+    def test_lod_selects_coarse_for_minified_uv(self):
+        rng = np.random.RandomState(1)
+        tex = jnp.asarray(rng.rand(16, 16, 3).astype(np.float32))
+        mips = R.build_mip_chain(tex)
+        uv = jnp.asarray(rng.rand(8, 8, 2).astype(np.float32))
+        fine = R.texture_sample_mip(mips, uv, jnp.zeros((8, 8)))
+        coarse = R.texture_sample_mip(mips, uv, jnp.full((8, 8), 4.0))
+        np.testing.assert_allclose(np.asarray(fine),
+                                   np.asarray(R.texture_sample(tex, uv)),
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(coarse),
+            np.broadcast_to(np.asarray(mips[-1])[0, 0], coarse.shape),
+            atol=1e-6)
+
+    def test_uv_mip_level(self):
+        # uv spanning the whole texture across 4 pixels → footprint =
+        # ts/4 texels/pixel → lod = log2(ts/4)
+        uv = jnp.stack(jnp.meshgrid(jnp.linspace(0, 1, 4),
+                                    jnp.linspace(0, 1, 4),
+                                    indexing="xy"), -1)
+        lod = R.uv_mip_level(uv, 16)
+        assert abs(float(lod[1, 1]) - np.log2(16 / 3)) < 0.5
+
+    def test_mip_gradients_flow(self):
+        tex = jnp.asarray(
+            np.random.RandomState(2).rand(8, 8, 3).astype(np.float32))
+
+        def loss(uv):
+            mips = R.build_mip_chain(tex)
+            return R.texture_sample_mip(mips, uv,
+                                        jnp.full(uv.shape[:-1],
+                                                 0.5)).sum()
+
+        uv = jnp.asarray(
+            np.random.RandomState(3).rand(5, 2).astype(np.float32))
+        g = jax.grad(loss)(uv)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestAntialias:
+    def test_edge_blend_and_position_gradients(self):
+        v = jnp.asarray([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0],
+                         [0.0, 0.6, 0.0]], jnp.float32)
+        f = jnp.asarray([[0, 1, 2]], jnp.int32)
+        from comfy3d_tpu.core.camera import Camera
+        cam = Camera.from_orbit(0.0, 0.0, 2.0, width=32, height=32)
+        mvp = cam.view_proj
+        rast = R.rasterize(v, f, mvp, 32, 32)
+        color = jnp.ones((32, 32, 3))
+        bg = jnp.zeros((32, 32, 3))
+        out = R.antialias(color, bg, v, f, mvp, rast, sigma=1e-4)
+        arr = np.asarray(out[..., 0])
+        # interior stays 1, background stays 0, edge pixels in between
+        assert arr.max() > 0.95 and arr.min() < 0.05
+        assert ((arr > 0.05) & (arr < 0.95)).sum() > 0
+
+        def loss(verts):
+            r = R.rasterize(verts, f, mvp, 32, 32)
+            return R.antialias(color, bg, verts, f, mvp, r,
+                               sigma=1e-4).sum()
+
+        g = jax.grad(loss)(v)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0     # visibility gradients
