@@ -1,0 +1,74 @@
+"""Geometry long-tail tests: surface sampling, FFT Poisson
+reconstruction, boundary-loop hole filling."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.algorithms import geometry as G
+from comfy3d_tpu.core.mesh import Mesh
+
+
+def make_cube():
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                  for z in (0, 1)], np.float32) - 0.5
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return Mesh(v=v, f=f)
+
+
+class TestSampling:
+    def test_samples_on_surface(self):
+        mesh = make_cube()
+        pts, nrm = G.sample_points_on_mesh(mesh, 2000, seed=1)
+        assert pts.shape == (2000, 3) and nrm.shape == (2000, 3)
+        # every sample lies on a cube face (one coord at ±0.5)
+        on_face = np.isclose(np.abs(pts), 0.5, atol=1e-5).any(axis=1)
+        assert on_face.all()
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0,
+                                   atol=1e-5)
+
+    def test_area_weighting(self):
+        # stretched cube: ±x faces are 1x3, ±y/±z faces 1x3/3x3 —
+        # elongate z by 3 and check z-extreme samples dominate less
+        mesh = make_cube()
+        mesh.v = mesh.v * np.array([1.0, 1.0, 3.0], np.float32)
+        pts, _ = G.sample_points_on_mesh(mesh, 4000, seed=2)
+        frac_side = np.isclose(np.abs(pts[:, 0]), 0.5, atol=1e-5).mean()
+        frac_cap = np.isclose(np.abs(pts[:, 2]), 1.5, atol=1e-5).mean()
+        assert frac_side > 2 * frac_cap   # side area 3 vs cap area 1
+
+
+class TestPoisson:
+    def test_sphere_reconstruction(self):
+        rng = np.random.RandomState(0)
+        n = 8000
+        d = rng.randn(n, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pts = d * 0.5
+        mesh = G.poisson_reconstruct(pts, d, resolution=64)
+        assert mesh.num_vertices > 100
+        r = np.linalg.norm(np.asarray(mesh.v), axis=1)
+        # radii concentrate near 0.5
+        assert abs(np.median(r) - 0.5) < 0.08
+        assert r.std() < 0.08
+
+    def test_watertight_output(self):
+        rng = np.random.RandomState(1)
+        d = rng.randn(4000, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        mesh = G.poisson_reconstruct(d * 0.4, d, resolution=48)
+        loops = G.boundary_loops(np.asarray(mesh.f))
+        assert loops == []                  # closed surface
+
+
+class TestHoleFill:
+    def test_fills_open_cube(self):
+        mesh = make_cube()
+        open_mesh = Mesh(v=mesh.v, f=mesh.f[2:])   # drop one quad (2 tris)
+        loops = G.boundary_loops(np.asarray(open_mesh.f))
+        assert len(loops) == 1 and len(loops[0]) == 4
+        filled = G.fill_holes(open_mesh)
+        assert G.boundary_loops(np.asarray(filled.f)) == []
+        assert filled.num_vertices == mesh.num_vertices + 1
