@@ -508,3 +508,56 @@ class Load_TripoSG_Pipeline:
         print(f"[Load_TripoSG_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
         return (TripoSGPipeline.init_random(),)
+
+
+@register
+class Load_Craftsman_Shape_Diffusion_Model:
+    """reference nodes.py:3332."""
+
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("CRAFTSMAN_MODEL",)
+    RETURN_NAMES = ("craftsman_model",)
+    FUNCTION = "load"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "model_name": (["image-to-shape-diffusion"],),
+        }}
+
+    def load(self, model_name="image-to-shape-diffusion"):
+        from ..models.craftsman import CraftsmanPipeline
+        return (CraftsmanPipeline.init_random(),)
+
+
+@register
+class Craftsman_Shape_Diffusion_Model:
+    """reference nodes.py:3377 — MV images → mesh."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "craftsman_model": ("CRAFTSMAN_MODEL",),
+            "multiview_images": ("IMAGE",),
+            "seed": ("INT", {"default": 0, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "guidance_scale": ("FLOAT", {"default": 7.5, "min": 0.0,
+                                         "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
+            "octree_resolution": ("INT", {"default": 256, "min": 64}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_model(self, craftsman_model, multiview_images, seed=0,
+                  guidance_scale=7.5, num_inference_steps=50,
+                  octree_resolution=256):
+        imgs = np.asarray(multiview_images, np.float32)
+        mesh = craftsman_model(
+            imgs, seed=int(seed), num_steps=int(num_inference_steps),
+            guidance_scale=float(guidance_scale),
+            octree_resolution=int(octree_resolution))[0]
+        return (mesh.auto_normal(),)

@@ -1,0 +1,31 @@
+"""Craftsman pipeline tests (tiny config)."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.models.craftsman import CraftsmanConfig, CraftsmanPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return CraftsmanPipeline.init_random(cfg=CraftsmanConfig.tiny())
+
+
+def test_mv_images_to_mesh(pipe):
+    imgs = np.random.RandomState(0).rand(2, 28, 28, 3).astype(np.float32)
+    meshes = pipe(imgs, seed=1, octree_resolution=24, num_chunks=4096)
+    assert len(meshes) == 1
+    assert meshes[0].v.shape[1] == 3
+
+
+def test_conditioning_changes_latents(pipe):
+    a = np.random.RandomState(1).rand(2, 28, 28, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(2, 28, 28, 3).astype(np.float32)
+    import jax.numpy as jnp
+    la = np.asarray(pipe._sample(
+        pipe.params["denoiser"], pipe.encode_cond(a),
+        jnp.zeros((1, 16, 8)), 2, jnp.float32(7.5)))
+    lb = np.asarray(pipe._sample(
+        pipe.params["denoiser"], pipe.encode_cond(b),
+        jnp.zeros((1, 16, 8)), 2, jnp.float32(7.5)))
+    assert np.abs(la - lb).max() > 1e-6
