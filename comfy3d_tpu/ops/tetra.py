@@ -139,13 +139,18 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
     origin = jnp.asarray(origin, jnp.float32)
     field = grid - iso
     ncells = r - 1
-    nslabs = -(-ncells // slab)
+    ncells_z = grid.shape[2] - 1        # z may be a partition block
+    nslabs = -(-ncells_z // slab)
+    pad_z = nslabs * slab + 1 - grid.shape[2]
+    field_pad = (jnp.pad(field, ((0, 0), (0, 0), (0, pad_z)))
+                 if pad_z > 0 else field)
 
     # global triangle count prefix per slab for compact output offsets
     def slab_tris(s0):
         """Triangles for cells with z-index in [s0, s0+slab)."""
         zs = s0 + jnp.arange(slab)
-        sl = jax.lax.dynamic_slice_in_dim(field, s0, slab + 1, axis=2)
+        sl = jax.lax.dynamic_slice_in_dim(field_pad, s0, slab + 1,
+                                          axis=2)
         # corner values per cell [ncells, ncells, slab, 8]
         cx, cy, cz = _CORNERS[:, 0], _CORNERS[:, 1], _CORNERS[:, 2]
         vals = jnp.stack([
@@ -160,7 +165,7 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
 
         pos = pos.reshape(-1, 8, 3)
         vals = vals.reshape(-1, 8)
-        zvalid = (gz < ncells).reshape(-1)
+        zvalid = (gz < ncells_z).reshape(-1)
 
         tets = jnp.asarray(_TETS)
         tp = pos[:, tets].reshape(-1, 4, 3)         # [C*6, 4, 3]
@@ -205,21 +210,47 @@ def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
 
 
 def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
-                       max_tris: int = 400_000):
+                       max_tris: int = 400_000, max_block: int = 160):
     """Grid → welded Mesh (host hop at the stage boundary).
 
     Counterpart of reference `marching_cubes_density_to_mesh`
-    (`mesh_utils.py:488-519`) minus the pymeshlab clean (see native/)."""
+    (`mesh_utils.py:488-519`) minus the pymeshlab clean (see native/).
+    Grids larger than `max_block` per axis are swept in overlapping
+    z-partitions (the remote AOT compiler rejects ≥192³ one-shot
+    programs), then welded into one mesh."""
     from ..core.mesh import Mesh
     r = grid.shape[0]
     spacing = (bounds[1] - bounds[0]) / (r - 1)
-    soup, count, overflow = marching_tets_grid(
-        jnp.asarray(grid), iso=iso,
-        origin=(bounds[0],) * 3, spacing=spacing, max_tris=max_tris)
-    v, f = weld(np.asarray(soup), int(count))
-    if bool(overflow):
-        import warnings
-        warnings.warn(f"marching tets overflow: capacity {max_tris} hit")
+    if r <= max_block:
+        soup, count, overflow = marching_tets_grid(
+            jnp.asarray(grid), iso=iso,
+            origin=(bounds[0],) * 3, spacing=spacing, max_tris=max_tris)
+        v, f = weld(np.asarray(soup), int(count))
+        if bool(overflow):
+            import warnings
+            warnings.warn(
+                f"marching tets overflow: capacity {max_tris} hit")
+        return Mesh(v=v, f=f)
+
+    grid = np.asarray(grid)
+    nblocks = -(-(r - 1) // (max_block - 1))
+    per_cap = -(-max_tris // nblocks) + 3
+    soups = []
+    for bi in range(nblocks):
+        z0 = bi * (max_block - 1)
+        z1 = min(z0 + max_block, r)
+        sub = jnp.asarray(grid[:, :, z0:z1])
+        soup, count, overflow = marching_tets_grid(
+            sub, iso=iso,
+            origin=(bounds[0], bounds[0], bounds[0] + z0 * spacing),
+            spacing=spacing, max_tris=per_cap)
+        soups.append(np.asarray(soup)[:int(count)])
+        if bool(overflow):
+            import warnings
+            warnings.warn(f"marching tets overflow in z-block {bi}")
+    allsoup = (np.concatenate(soups) if soups
+               else np.zeros((0, 3, 3), np.float32))
+    v, f = weld(allsoup, len(allsoup))
     return Mesh(v=v, f=f)
 
 
