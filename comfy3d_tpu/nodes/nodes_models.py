@@ -561,3 +561,72 @@ class Craftsman_Shape_Diffusion_Model:
             guidance_scale=float(guidance_scale),
             octree_resolution=int(octree_resolution))[0]
         return (mesh.auto_normal(),)
+
+
+@register
+class Fast_Normal_Maps_To_Mesh:
+    """reference nodes.py:2959 — 4 orthographic normal maps → mesh
+    (Unique3D reconstruct_stage1 role via algorithms.normal_recon)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "normal_maps": ("IMAGE",),
+            "normal_masks": ("MASK",),
+            "optimization_steps": ("INT", {"default": 100, "min": 10}),
+            "subdivisions": ("INT", {"default": 4, "min": 1, "max": 6}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_recon"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_recon(self, normal_maps, normal_masks,
+                  optimization_steps=100, subdivisions=4):
+        from ..algorithms import normal_recon
+        mesh = normal_recon.reconstruct_from_normals(
+            np.asarray(normal_maps, np.float32),
+            np.asarray(normal_masks, np.float32),
+            steps=int(optimization_steps),
+            subdivisions=int(subdivisions))
+        return (mesh,)
+
+
+@register
+class ExplicitTarget_Mesh_Optimization:
+    """reference nodes.py:2986 — refine an existing mesh against target
+    normal maps (Unique3D run_mesh_refine role: fixed topology, vertex
+    optimization)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mesh": ("MESH",),
+            "reference_images": ("IMAGE",),
+            "reference_masks": ("MASK",),
+            "optimization_steps": ("INT", {"default": 100, "min": 10}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_refine"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_refine(self, mesh, reference_images, reference_masks,
+                   optimization_steps=100):
+        import dataclasses as dc
+        from ..algorithms import diff_mesh
+        from ..core.camera import Camera
+        imgs = np.asarray(reference_images, np.float32)
+        masks = np.asarray(reference_masks, np.float32)
+        n = imgs.shape[0]
+        az = np.linspace(0.0, 360.0, n, endpoint=False)
+        cams = Camera.from_orbit(np.zeros(n, np.float32),
+                                 az.astype(np.float32), 2.0,
+                                 width=imgs.shape[2],
+                                 height=imgs.shape[1])
+        cfg = dc.replace(diff_mesh.DiffMeshConfig(),
+                         iterations=int(optimization_steps))
+        out = diff_mesh.fit(mesh, cams, imgs, masks, cfg)
+        return (out[0] if isinstance(out, tuple) else out,)

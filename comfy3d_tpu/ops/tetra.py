@@ -139,7 +139,8 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
     origin = jnp.asarray(origin, jnp.float32)
     field = grid - iso
     ncells = r - 1
-    ncells_z = grid.shape[2] - 1        # z may be a partition block
+    ncells_y = grid.shape[1] - 1        # y/z may be partition blocks
+    ncells_z = grid.shape[2] - 1
     nslabs = -(-ncells_z // slab)
     pad_z = nslabs * slab + 1 - grid.shape[2]
     field_pad = (jnp.pad(field, ((0, 0), (0, 0), (0, pad_z)))
@@ -154,11 +155,12 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
         # corner values per cell [ncells, ncells, slab, 8]
         cx, cy, cz = _CORNERS[:, 0], _CORNERS[:, 1], _CORNERS[:, 2]
         vals = jnp.stack([
-            sl[cx[k]: cx[k] + ncells, cy[k]: cy[k] + ncells,
+            sl[cx[k]: cx[k] + ncells, cy[k]: cy[k] + ncells_y,
                cz[k]: cz[k] + slab] for k in range(8)], -1)
         # positions
         ix = jnp.arange(ncells)
-        gx, gy, gz = jnp.meshgrid(ix, ix, zs, indexing="ij")
+        iy = jnp.arange(ncells_y)
+        gx, gy, gz = jnp.meshgrid(ix, iy, zs, indexing="ij")
         base = jnp.stack([gx, gy, gz], -1).astype(jnp.float32)
         corner_off = jnp.asarray(_CORNERS, jnp.float32)
         pos = (base[..., None, :] + corner_off) * spacing + origin
@@ -224,7 +226,8 @@ def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
     if r <= max_block:
         soup, count, overflow = marching_tets_grid(
             jnp.asarray(grid), iso=iso,
-            origin=(bounds[0],) * 3, spacing=spacing, max_tris=max_tris)
+            origin=(bounds[0],) * 3, spacing=spacing,
+            max_tris=max_tris)
         v, f = weld(np.asarray(soup), int(count))
         if bool(overflow):
             import warnings
@@ -234,20 +237,27 @@ def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
 
     grid = np.asarray(grid)
     nblocks = -(-(r - 1) // (max_block - 1))
-    per_cap = -(-max_tris // nblocks) + 3
+    per_cap = -(-max_tris // (nblocks * nblocks)) + 3
     soups = []
-    for bi in range(nblocks):
-        z0 = bi * (max_block - 1)
-        z1 = min(z0 + max_block, r)
-        sub = jnp.asarray(grid[:, :, z0:z1])
-        soup, count, overflow = marching_tets_grid(
-            sub, iso=iso,
-            origin=(bounds[0], bounds[0], bounds[0] + z0 * spacing),
-            spacing=spacing, max_tris=per_cap)
-        soups.append(np.asarray(soup)[:int(count)])
-        if bool(overflow):
-            import warnings
-            warnings.warn(f"marching tets overflow in z-block {bi}")
+    for bj in range(nblocks):
+        y0 = bj * (max_block - 1)
+        y1 = min(y0 + max_block, r)
+        for bi in range(nblocks):
+            z0 = bi * (max_block - 1)
+            z1 = min(z0 + max_block, r)
+            sub = jnp.asarray(grid[:, y0:y1, z0:z1])
+            # thin slabs: the x-extent stays full, so per-slab tet
+            # counts (and their tile-padded intermediates) must shrink
+            soup, count, overflow = marching_tets_grid(
+                sub, iso=iso,
+                origin=(bounds[0], bounds[0] + y0 * spacing,
+                        bounds[0] + z0 * spacing),
+                spacing=spacing, max_tris=per_cap, slab=4)
+            soups.append(np.asarray(soup)[:int(count)])
+            if bool(overflow):
+                import warnings
+                warnings.warn(
+                    f"marching tets overflow in block {bj},{bi}")
     allsoup = (np.concatenate(soups) if soups
                else np.zeros((0, 3, 3), np.float32))
     v, f = weld(allsoup, len(allsoup))

@@ -1,0 +1,54 @@
+"""Unique3D reconstruction tests: normal-maps → mesh (+node)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfy3d_tpu.algorithms import normal_recon as NR
+from comfy3d_tpu.ops import rasterize as R
+
+
+def render_sphere_targets(radius=0.45, size=48, subdivs=3):
+    v, f = NR.make_icosphere(subdivs, radius=radius)
+    mvps = NR.star_ortho_mvps(4)
+    nmaps, masks = [], []
+    for i in range(4):
+        rast = R.rasterize(jnp.asarray(v), jnp.asarray(f),
+                           jnp.asarray(mvps[i]), size, size)
+        vn = NR._vertex_normals(jnp.asarray(v), jnp.asarray(f))
+        nimg = R.interpolate(vn, rast, jnp.asarray(f)) * 0.5 + 0.5
+        nmaps.append(np.asarray(nimg))
+        masks.append(np.asarray(rast.mask))
+    return np.stack(nmaps), np.stack(masks)
+
+
+def test_reconstruction_converges_to_target_radius():
+    nmaps, masks = render_sphere_targets()
+    mesh = NR.reconstruct_from_normals(nmaps, masks, steps=40,
+                                       subdivisions=3)
+    r = np.linalg.norm(np.asarray(mesh.v), axis=1)
+    assert abs(np.median(r) - 0.45) < 0.1     # shrank from 0.6 start
+    assert mesh.vn is not None
+
+
+def test_icosphere_topology():
+    v, f = NR.make_icosphere(2)
+    from comfy3d_tpu.algorithms.geometry import boundary_loops
+    assert boundary_loops(f) == []            # closed
+    # Euler characteristic of a sphere: V - E + F = 2
+    edges = set()
+    for a, b, c in f:
+        for e in ((a, b), (b, c), (c, a)):
+            edges.add((min(e), max(e)))
+    assert len(v) - len(edges) + len(f) == 2
+
+
+def test_node_runs():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    nmaps, masks = render_sphere_targets(size=32)
+    node = m["[Comfy3D] Fast Normal Maps To Mesh"]()
+    (mesh,) = node.run_recon(nmaps, masks, optimization_steps=10,
+                             subdivisions=2)
+    assert mesh.v.shape[1] == 3
