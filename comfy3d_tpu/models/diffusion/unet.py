@@ -259,10 +259,16 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  ref_mode=None, ref_hidden=None,
-                 class_emb=None):
+                 class_emb=None, down_residuals=None, mid_residual=None):
         """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
         [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
-        written ref-hidden dict when ref_mode == 'write')."""
+        written ref-hidden dict when ref_mode == 'write').
+
+        down_residuals / mid_residual: ControlNet-style additive
+        residuals (diffusers `down_block_additional_residuals` /
+        `mid_block_additional_residual`) — one per skip entry, added to
+        the saved skips and the mid output (the injection contract the
+        Yoso/StableX and T2I-adapter pipelines use)."""
         c = self.cfg
         written = {}
         ref_i = [0]
@@ -282,7 +288,16 @@ class UNet2DCondition(nn.Module):
 
         h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
                     name="conv_in")(sample)
-        skips = [h]
+        res_i = [0]
+
+        def ctrl(x):
+            if down_residuals is None:
+                return x
+            r = down_residuals[res_i[0]]
+            res_i[0] += 1
+            return x + r
+
+        skips = [ctrl(h)]
 
         # down
         for bi, btype in enumerate(c.down_block_types):
@@ -303,10 +318,10 @@ class UNet2DCondition(nn.Module):
                         ref_hidden=rh)
                     if ref_mode == "write":
                         written[key] = wr
-                skips.append(h)
+                skips.append(ctrl(h))
             if bi < len(c.down_block_types) - 1:
                 h = Downsample(out_ch, name=f"down_{bi}_downsample")(h)
-                skips.append(h)
+                skips.append(ctrl(h))
 
         # mid
         mid_ch = c.block_out_channels[-1]
@@ -323,6 +338,8 @@ class UNet2DCondition(nn.Module):
         if ref_mode == "write":
             written[key] = wr
         h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_1")(h, temb)
+        if mid_residual is not None:
+            h = h + mid_residual
 
         # up
         rev_channels = list(reversed(c.block_out_channels))

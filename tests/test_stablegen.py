@@ -1,0 +1,84 @@
+"""Stable3DGen / Yoso tests (tiny config) + ControlNet injection."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import test_diffusion as td
+from comfy3d_tpu.models.stablegen import YosoConfig, YosoNormalsPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = YosoConfig(unet=td.tiny_unet_cfg(), vae=td.tiny_vae_cfg(),
+                     prompt_tokens=7, prompt_dim=16)
+    return YosoNormalsPipeline.init_random(cfg=cfg)
+
+
+def test_one_step_normals(pipe):
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    n = np.asarray(pipe(img))
+    assert n.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(np.linalg.norm(n[0], axis=-1), 1.0,
+                               atol=1e-4)
+
+
+def test_controlnet_residuals_condition_output(pipe):
+    """Different input images must change the prediction ONLY through
+    the controlnet (the UNet input latent is zeros). Zero-init output
+    convs are neutral, so randomize them first (training would)."""
+    import jax
+    params = dict(pipe.params)
+    params["controlnet"] = jax.tree.map(
+        lambda a: a + jax.random.normal(jax.random.PRNGKey(7), a.shape,
+                                        a.dtype) * 0.05,
+        pipe.params["controlnet"])
+    old = pipe.params
+    pipe.params = params
+    try:
+        a = np.random.RandomState(1).rand(32, 32, 3).astype(np.float32)
+        b = np.random.RandomState(2).rand(32, 32, 3).astype(np.float32)
+        na = np.asarray(pipe(a))
+        nb = np.asarray(pipe(b))
+    finally:
+        pipe.params = old
+    assert np.abs(na - nb).max() > 1e-6
+
+
+def test_controlnet_zero_convs_start_neutral():
+    """Zero-init output convs → residuals are exactly zero at init, so
+    an uninjected UNet call matches an injected one."""
+    from comfy3d_tpu.models.diffusion.controlnet import ControlNetEncoder
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    ucfg = td.tiny_unet_cfg()
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(1, 16, 16, 4).astype(np.float32))
+    t = jnp.asarray([500.0])
+    ctx = jnp.asarray(
+        np.random.RandomState(4).randn(1, 7, 16).astype(np.float32))
+    cn = ControlNetEncoder(ucfg)
+    cparams = cn.init(jax.random.PRNGKey(0), x, t, ctx, x)["params"]
+    down, mid = cn.apply({"params": cparams}, x, t, ctx, x)
+    assert all(float(jnp.abs(r).max()) == 0.0 for r in down)
+    assert float(jnp.abs(mid).max()) == 0.0
+    unet = UNet2DCondition(ucfg)
+    uparams = unet.init(jax.random.PRNGKey(1), x, t, ctx)["params"]
+    plain, _ = unet.apply({"params": uparams}, x, t, ctx)
+    injected, _ = unet.apply({"params": uparams}, x, t, ctx,
+                             down_residuals=down, mid_residual=mid)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(injected),
+                               atol=1e-6)
+
+
+def test_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Load StableGen Trellis Pipeline",
+                 "[Comfy3D] Load StableGen StableX Pipeline",
+                 "[Comfy3D] StableGen StableX Process Image",
+                 "[Comfy3D] StableGen Trellis Image To 3D"):
+        assert name in m
