@@ -43,9 +43,11 @@ def _sample_bilinear(img, xy):
 
 def project_colors(mesh: Mesh, images, cameras: Camera,
                    cos_power: float = 4.0, depth_eps: float = 2e-3,
-                   raster_size: int | None = None):
+                   raster_size: int | None = None, view_weights=None):
     """images [V, H, W, 3]; cameras batched [V] → (vertex colors [N, 3],
-    confidence [N])."""
+    confidence [N]). view_weights: optional per-view scalars (Hunyuan
+    paint's candidate_view_weights) multiplying each view's cos^p
+    confidence."""
     images = jnp.asarray(images, jnp.float32)
     v = jnp.asarray(mesh.v, jnp.float32)
     f = jnp.asarray(mesh.f, jnp.int32)
@@ -76,6 +78,8 @@ def project_colors(mesh: Mesh, images, cameras: Camera,
             jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-8)
         cosv = jnp.maximum((to_cam * vn).sum(-1), 0.0)
         weight = jnp.where(visible, cosv ** cos_power, 0.0)
+        if view_weights is not None:
+            weight = weight * float(view_weights[i])
         xy_img = xy * jnp.asarray([w / rw, h / rh])
         cols = _sample_bilinear(images[i], xy_img)
         acc = acc + cols * weight[:, None]
@@ -92,10 +96,12 @@ def _sample_nearest(depth, xy, h, w):
 
 def project_and_inpaint(mesh: Mesh, images, cameras: Camera,
                         cos_power: float = 4.0,
-                        confidence_min: float = 1e-3) -> Mesh:
+                        confidence_min: float = 1e-3,
+                        view_weights=None) -> Mesh:
     """Vertex colors from views; unseen vertices inpainted over the mesh
     graph (native mesh_inpaint_processor role)."""
-    colors, conf = project_colors(mesh, images, cameras, cos_power)
+    colors, conf = project_colors(mesh, images, cameras, cos_power,
+                                  view_weights=view_weights)
     colors = np.asarray(colors, np.float32)
     seen = np.asarray(conf) > confidence_min
     try:
@@ -111,12 +117,13 @@ def project_and_inpaint(mesh: Mesh, images, cameras: Camera,
 
 def bake_projection(mesh: Mesh, images, cameras: Camera,
                     texture_size: int = 1024,
-                    cos_power: float = 4.0) -> Mesh:
+                    cos_power: float = 4.0, view_weights=None) -> Mesh:
     """Project views → vertex colors → UV texture bake (+ dilation).
     Produces an albedo texture on the mesh (auto-unwrapping if needed)."""
     from ..ops import texture as T
 
-    mesh = project_and_inpaint(mesh, images, cameras, cos_power)
+    mesh = project_and_inpaint(mesh, images, cameras, cos_power,
+                               view_weights=view_weights)
     if mesh.vt is None or mesh.ft is None:
         vt, ft = T.box_unwrap(np.asarray(mesh.v), np.asarray(mesh.f))
         mesh.vt, mesh.ft = vt, ft

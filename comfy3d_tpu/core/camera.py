@@ -42,6 +42,28 @@ ORBITPOSE_PRESETS = {
         [0.0, 0.0], [0.0, 45.0], [0.0, 90.0],
         [0.0, 180.0], [0.0, 270.0], [0.0, 315.0],
     ],
+    # reference preset table values ([elevation, azimuth] per view)
+    "CRM(6)": [
+        [0.0, -90.0], [90.0, 0.0], [0.0, 180.0],
+        [0.0, 90.0], [-90.0, 0.0], [0.0, 0.0],
+    ],
+    "Wonder3D(6)": [
+        [0.0, 0.0], [0.0, 45.0], [0.0, 90.0],
+        [0.0, 180.0], [0.0, -90.0], [0.0, -45.0],
+    ],
+    "Zero123Plus(6)": [
+        [-20.0, 30.0], [10.0, 90.0], [-20.0, 150.0],
+        [10.0, -150.0], [-20.0, -90.0], [10.0, -30.0],
+    ],
+    "Era3D(6)": [
+        [0.0, 0.0], [0.0, 45.0], [0.0, 90.0],
+        [0.0, 180.0], [0.0, -90.0], [0.0, -45.0],
+    ],
+    "MVDream(4)": [[0.0, 0.0], [0.0, 90.0], [0.0, 180.0], [0.0, -90.0]],
+    "Unique3D(4)": [[0.0, 0.0], [0.0, 90.0], [0.0, 180.0], [0.0, -90.0]],
+    "CharacterGen(4)": [
+        [0.0, -90.0], [0.0, 180.0], [0.0, 90.0], [0.0, 0.0],
+    ],
 }
 
 ELEVATION_MIN, ELEVATION_MAX = -90.0, 90.0

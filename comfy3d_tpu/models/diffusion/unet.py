@@ -259,7 +259,8 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  ref_mode=None, ref_hidden=None,
-                 class_emb=None, down_residuals=None, mid_residual=None):
+                 class_emb=None, down_residuals=None, mid_residual=None,
+                 adapter_residuals=None):
         """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
         [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
         written ref-hidden dict when ref_mode == 'write').
@@ -268,7 +269,12 @@ class UNet2DCondition(nn.Module):
         residuals (diffusers `down_block_additional_residuals` /
         `mid_block_additional_residual`) — one per skip entry, added to
         the saved skips and the mid output (the injection contract the
-        Yoso/StableX and T2I-adapter pipelines use)."""
+        Yoso/StableX pipelines use).
+
+        adapter_residuals: T2I-Adapter intrablock residuals
+        (diffusers `down_intrablock_additional_residuals`, the CRM T2I
+        conditioning path) — one feature map per down stage, added
+        after the stage's first resnet."""
         c = self.cfg
         written = {}
         ref_i = [0]
@@ -305,6 +311,10 @@ class UNet2DCondition(nn.Module):
             for li in range(c.layers_per_block):
                 h = ResnetBlock(out_ch, c.norm_groups,
                                 name=f"down_{bi}_res_{li}")(h, temb)
+                # T2I-Adapter feature: after the stage's first resnet
+                # (which sets the stage's channel width)
+                if adapter_residuals is not None and li == 0:
+                    h = h + adapter_residuals[bi]
                 if btype == "CrossAttnDownBlock2D":
                     heads, dim_head = self._heads(out_ch)
                     key = next_ref()

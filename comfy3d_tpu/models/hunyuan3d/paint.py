@@ -1,0 +1,249 @@
+"""Hunyuan3D-V2 paint: mesh + reference image → textured mesh.
+
+Counterpart of `Gen_3D_Modules/Hunyuan3D_V2/hy3dgen/texgen/
+pipelines.py:53-231` (`Hunyuan3DPaintPipeline`) and the multiview
+model it drives (`hunyuanpaint/pipeline.py:193`):
+
+1. render per-view geometry images — world-space normal maps
+   (`use_abs_coor=True`) and position (CCM) maps — for the 6 candidate
+   cameras (azims [0,90,180,270,0,180], elevs [0,0,0,0,90,-90],
+   pipelines.py:40-42);
+2. a 6-view SD UNet (our `mv_views` joint attention) denoises the view
+   latents with the VAE-encoded normal+position latents concatenated
+   on channels (in 4+4+4), the reference image injected by reference
+   attention (write/read), and a per-view camera_info class embedding
+   (pipelines.py:209-212);
+3. cos^bake_exp view-weighted back-projection with the candidate view
+   weights [1,.1,.5,.1,.05,.05] → UV texture bake + inpaint
+   (`bake_from_multiview` / `texture_inpaint`, pipelines.py:118-143).
+
+The delight model (lighting remover, a one-step SD img2img) slot is
+pluggable via `set_delight`; identity by default.
+
+All 6 views denoise as ONE batched jit program — the MV UNet batch is
+the view axis, so the whole loop is a lax.fori_loop over steps with
+every matmul MXU-shaped [6·HW, C]; the reference's per-view Python
+loop (and its CUDA custom_rasterizer) have no TPU counterpart to
+translate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.schedulers import EulerAncestral, SchedulerConfig
+from ..diffusion.unet import UNet2DCondition, UNetConfig
+from ..diffusion.vae import AutoencoderKL, VAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class PaintConfig:
+    render_size: int = 512
+    texture_size: int = 1024
+    camera_azims: Tuple[float, ...] = (0., 90., 180., 270., 0., 180.)
+    camera_elevs: Tuple[float, ...] = (0., 0., 0., 0., 90., -90.)
+    view_weights: Tuple[float, ...] = (1., .1, .5, .1, .05, .05)
+    camera_distance: float = 1.45
+    bake_exp: float = 4.0
+    num_cls: int = 44                 # camera_info label range
+    prompt_tokens: int = 77
+    prompt_dim: int = 1024
+    unet: UNetConfig = UNetConfig(
+        in_channels=12, out_channels=4, cross_attention_dim=1024,
+        mv_views=6)
+    vae: VAEConfig = VAEConfig()
+    scheduler: SchedulerConfig = SchedulerConfig(
+        prediction_type="v_prediction", timestep_spacing="trailing")
+    vae_scaling: float = 0.18215
+
+
+class _ClsEmbed(nn.Module):
+    num_cls: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param("embedding", nn.initializers.normal(0.02),
+                           (self.num_cls, self.dim))
+        return table[labels]
+
+
+def _camera_info(azims, elevs) -> np.ndarray:
+    """pipelines.py:209-212 — discretized per-view camera label."""
+    div = {-20: 1, 0: 1, 20: 1, -90: 3, 90: 3}
+    off = {-20: 0, 0: 12, 20: 24, -90: 36, 90: 40}
+    return np.array(
+        [(((int(a) // 30) + 9) % 12) // div[int(e)] + off[int(e)]
+         for a, e in zip(azims, elevs)], np.int32)
+
+
+class Hunyuan3DPaintPipeline:
+    def __init__(self, params, cfg: PaintConfig = PaintConfig()):
+        self.cfg = cfg
+        self.unet = UNet2DCondition(cfg.unet)
+        self.vae = AutoencoderKL(cfg.vae)
+        self.cls_embed = _ClsEmbed(cfg.num_cls,
+                                   cfg.unet.block_out_channels[0] * 4)
+        self.params = params
+        self.delight = None            # image [H,W,3] -> [H,W,3]
+        self.vision_encoder = None
+
+    @classmethod
+    def init_random(cls, key=None, cfg: Optional[PaintConfig] = None
+                    ) -> "Hunyuan3DPaintPipeline":
+        cfg = cfg or PaintConfig()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        v = len(cfg.camera_azims)
+        lat = cfg.render_size // 8
+        params = {
+            "unet": UNet2DCondition(cfg.unet).init(
+                k1, jnp.zeros((v, lat, lat, cfg.unet.in_channels)),
+                jnp.zeros((v,)),
+                jnp.zeros((v, cfg.prompt_tokens, cfg.prompt_dim)),
+                class_emb=jnp.zeros(
+                    (v, cfg.unet.block_out_channels[0] * 4)))["params"],
+            "vae": AutoencoderKL(cfg.vae).init(
+                k2, jnp.zeros((1, 64, 64, 3)))["params"],
+            "cls": _ClsEmbed(cfg.num_cls,
+                             cfg.unet.block_out_channels[0] * 4).init(
+                k3, jnp.zeros((v,), jnp.int32))["params"],
+        }
+        return cls(params, cfg)
+
+    def set_delight(self, fn):
+        self.delight = fn
+
+    # ---------------------------------------------------------------- #
+    def render_geometry(self, mesh):
+        """→ (normal_maps [V,S,S,3] in [0,1], position_maps [V,S,S,3]
+        in [0,1]) for the candidate cameras."""
+        from ...core.camera import Camera
+        from ...ops import rasterize as R
+        cfg = self.cfg
+        s = cfg.render_size
+        v = jnp.asarray(mesh.v, jnp.float32)
+        f = jnp.asarray(mesh.f, jnp.int32)
+        if mesh.vn is None:
+            mesh = mesh.auto_normal()
+        vn = jnp.asarray(mesh.vn, jnp.float32)
+        normals, positions = [], []
+        for e, a in zip(cfg.camera_elevs, cfg.camera_azims):
+            cam = Camera.from_orbit(float(e), float(a),
+                                    cfg.camera_distance,
+                                    width=s, height=s)
+            rast = R.rasterize(v, f, cam.view_proj, s, s)
+            n_img = R.interpolate(vn, rast, f)     # world-space normals
+            p_img = R.interpolate(v, rast, f)
+            hit = rast.mask[..., None]
+            normals.append(jnp.where(hit, n_img * 0.5 + 0.5, 0.0))
+            positions.append(jnp.where(hit, p_img * 0.5 + 0.5, 0.0))
+        return jnp.stack(normals), jnp.stack(positions)
+
+    def _encode(self, images):
+        lat = self.vae.apply({"params": self.params["vae"]},
+                             images * 2.0 - 1.0,
+                             method=AutoencoderKL.encode)
+        return lat * self.cfg.vae_scaling
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _denoise(self, params, geom_lat, img_lat, cam_labels,
+                 num_steps: int, guidance_scale, noise):
+        cfg = self.cfg
+        nv = geom_lat.shape[0]
+        sched = EulerAncestral(cfg.scheduler, num_steps)
+        cls_emb = self.cls_embed.apply({"params": params["cls"]},
+                                       cam_labels)
+        geom2 = jnp.concatenate([geom_lat, geom_lat], axis=0)
+        cls2 = jnp.concatenate([cls_emb, cls_emb], axis=0)
+        ctx = jnp.zeros((2 * nv, cfg.prompt_tokens, cfg.prompt_dim))
+        # [uncond, cond] tiled to the view axis: the mv_views=6 joint
+        # attention needs the ref batch to match the denoise batch
+        img2 = jnp.repeat(jnp.concatenate(
+            [jnp.zeros_like(img_lat), img_lat], axis=0), nv, axis=0)
+        latents = noise * sched.init_sigma
+
+        def body(i, carry):
+            latents, key = carry
+            key, k_cond, k_step = jax.random.split(key, 3)
+            t = sched.timesteps[i]
+            tvec = jnp.full((2 * nv,), t, jnp.float32)
+            # reference write: re-noised condition latent (the
+            # RefOnlyNoisedUNet mechanism, hunyuanpaint pipeline.py)
+            noisy = sched.add_noise(
+                img2, jax.random.normal(k_cond, img2.shape), i)
+            noisy = sched.scale_model_input(noisy, i)
+            ref_in = jnp.concatenate(
+                [noisy, jnp.zeros(noisy.shape[:-1] + (8,))], axis=-1)
+            _, ref = self.unet.apply(
+                {"params": params["unet"]}, ref_in, tvec,
+                ctx, ref_mode="write",
+                class_emb=jnp.zeros_like(cls2))
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            x2 = sched.scale_model_input(x2, i)
+            x2 = jnp.concatenate([x2, geom2], axis=-1)
+            eps, _ = self.unet.apply(
+                {"params": params["unet"]}, x2, tvec, ctx,
+                ref_mode="read", ref_hidden=ref, class_emb=cls2)
+            e_u, e_c = jnp.split(eps, 2, axis=0)
+            eps = e_u + guidance_scale * (e_c - e_u)
+            return sched.step(eps, i, latents, key=k_step), key
+
+        latents, _ = jax.lax.fori_loop(
+            0, num_steps, body, (latents, jax.random.PRNGKey(0)))
+        return latents
+
+    def paint_views(self, mesh, image, num_steps: int = 15,
+                    guidance_scale: float = 3.0, seed: int = 0):
+        """→ views [V, S, S, 3] in [0,1]."""
+        cfg = self.cfg
+        s = cfg.render_size
+        image = jnp.asarray(image, jnp.float32)
+        if image.ndim == 3:
+            image = image[None]
+        if image.shape[1] != s:
+            image = jax.image.resize(image, (1, s, s, 3), "bilinear")
+        if self.delight is not None:
+            image = self.delight(image)
+        normals, positions = self.render_geometry(mesh)
+        n_lat = self._encode(normals)
+        p_lat = self._encode(positions)
+        geom_lat = jnp.concatenate([n_lat, p_lat], axis=-1)
+        img_lat = self._encode(image)
+        labels = jnp.asarray(_camera_info(cfg.camera_azims,
+                                          cfg.camera_elevs))
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (geom_lat.shape[0],) + geom_lat.shape[1:3] + (4,))
+        out = self._denoise(self.params, geom_lat, img_lat, labels,
+                            int(num_steps), jnp.float32(guidance_scale),
+                            noise)
+        views = self.vae.apply({"params": self.params["vae"]},
+                               out / cfg.vae_scaling,
+                               method=AutoencoderKL.decode)
+        return jnp.clip(views * 0.5 + 0.5, 0.0, 1.0)
+
+    def __call__(self, mesh, image, num_steps: int = 15,
+                 guidance_scale: float = 3.0, seed: int = 0):
+        """mesh + reference image [H,W,3] → mesh with baked albedo."""
+        from ...algorithms import color_project
+        from ...core.camera import Camera
+        cfg = self.cfg
+        views = np.asarray(self.paint_views(mesh, image, num_steps,
+                                            guidance_scale, seed))
+        cams = Camera.from_orbit(
+            np.asarray(cfg.camera_elevs, np.float32),
+            np.asarray(cfg.camera_azims, np.float32),
+            cfg.camera_distance, width=cfg.render_size,
+            height=cfg.render_size)
+        return color_project.bake_projection(
+            mesh, views, cams, texture_size=cfg.texture_size,
+            cos_power=cfg.bake_exp,
+            view_weights=cfg.view_weights).auto_normal()

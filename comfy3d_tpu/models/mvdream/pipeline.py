@@ -99,8 +99,13 @@ class MVDreamPipeline:
                  negative_embeds: Optional[np.ndarray] = None,
                  num_inference_steps: int = 30,
                  guidance_scale: float = 7.0, seed: int = 0,
-                 elevation: Optional[float] = None):
-        """→ [V, S, S, 3] images in [0,1]."""
+                 elevation: Optional[float] = None,
+                 adapter_residuals=None):
+        """→ [V, S, S, 3] images in [0,1].
+
+        adapter_residuals: optional T2I-Adapter feature pyramid (one
+        [V, h, w, c] per down stage — the CRM T2I conditioning path);
+        applied to both CFG branches."""
         cfg = self.cfg
         v = cfg.num_views
         emb_dim = cfg.prompt_dim
@@ -127,11 +132,15 @@ class MVDreamPipeline:
         unet_apply = partial(self.unet.apply,
                              {"params": self.params["unet"]})
 
+        ad2 = (None if adapter_residuals is None else
+               [jnp.concatenate([r, r]) for r in adapter_residuals])
+
         def body(i, latents):
             t = sched.timesteps[i]
             lat_in = jnp.concatenate([latents, latents])
             tvec = jnp.full((2 * v,), t, jnp.float32)
-            out, _ = unet_apply(lat_in, tvec, states, class_emb=cam_emb2)
+            out, _ = unet_apply(lat_in, tvec, states, class_emb=cam_emb2,
+                                adapter_residuals=ad2)
             un, co = jnp.split(out, 2)
             pred = un + guidance_scale * (co - un)
             return sched.step(pred, i, latents)

@@ -1,3 +1,3 @@
-from .pipeline import PartCrafterConfig, PartCrafterPipeline
+from .pipeline import PartCrafterConfig, PartCrafterPipeline, merge_parts
 
-__all__ = ["PartCrafterConfig", "PartCrafterPipeline"]
+__all__ = ["PartCrafterConfig", "PartCrafterPipeline", "merge_parts"]

@@ -142,3 +142,208 @@ class Convolutional_Reconstruction_Model:
         mesh = crm_model(np.asarray(multiview_images, np.float32),
                          np.asarray(multiview_CCMs, np.float32))
         return (mesh,)
+
+
+# ------------------------------------------------------------------ #
+# CRM T2I (adapter-conditioned MV diffusion, V2 RGB / V3 PBR)
+# ------------------------------------------------------------------ #
+class _T2IAdapterRunner:
+    """T2IADAPTER_V2 carrier: flax T2IAdapter params + jitted apply."""
+
+    def __init__(self, cfg=None):
+        import jax
+        import jax.numpy as jnp
+        from ..models.crm.t2i_adapter import T2IAdapter, T2IAdapterConfig
+        self.cfg = cfg or T2IAdapterConfig()
+        self.model = T2IAdapter(self.cfg)
+        self.params = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, self.cfg.in_channels)))["params"]
+        self._apply = jax.jit(lambda p, x: self.model.apply(
+            {"params": p}, x))
+
+    def __call__(self, cond_images):
+        import jax.numpy as jnp
+        return self._apply(self.params,
+                           jnp.asarray(cond_images, jnp.float32))
+
+
+def _crm6_camposes():
+    from ..core.camera import ORBITPOSE_PRESETS
+    return [[1.63634, e, a, 0.0, 0.0, 0.0]
+            for e, a in ORBITPOSE_PRESETS["CRM(6)"]]
+
+
+def _adapter_for(sampler):
+    """Adapter config matched to the sampler's UNet stage widths."""
+    from ..models.crm.t2i_adapter import T2IAdapterConfig
+    return _T2IAdapterRunner(T2IAdapterConfig(
+        channels=tuple(sampler.cfg.unet.block_out_channels)))
+
+
+@register
+class Load_CRM_T2I_V2_Models:
+    """reference nodes.py:3479 — T2IAdapterV2 + the pixel-diffusion
+    ImageDream sampler (`CRM_T2I_V2/model/t2i_adapter_v2.py:265`)."""
+
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("T2IADAPTER_V2", "CRM_MVDIFFUSION_SAMPLER_V2")
+    RETURN_NAMES = ("t2iadapter_v2", "crm_mvdiffusion_sampler_v2")
+    FUNCTION = "load_CRM"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "crm_model_name": (["pixel-diffusion.pth"],),
+            "crm_config_path": (["sd_v2_base_ipmv_zero_SNR.yaml"],),
+        }}
+
+    def load_CRM(self, crm_model_name="pixel-diffusion.pth",
+                 crm_config_path="sd_v2_base_ipmv_zero_SNR.yaml"):
+        sampler = _mvdream_6view()
+        print("[Load_CRM_T2I_V2_Models] initializing random weights "
+              "(no local checkpoints)")
+        return (_adapter_for(sampler), sampler)
+
+
+@register
+class Load_CRM_T2I_V3_Models:
+    """reference nodes.py:3629 — Hyper-SD LoRA/DoRA PBR variant. The
+    low-rank delta is folded into the sampler weights at load time, so
+    the runtime graph is identical to V2; rank/use_dora are recorded."""
+
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("T2IADAPTER_V2", "CRM_MVDIFFUSION_SAMPLER_V3")
+    RETURN_NAMES = ("t2iadapter_v2", "crm_mvdiffusion_sampler_v3")
+    FUNCTION = "load_CRM"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "crm_model_name": (["pixel-diffusion_Hyper.pth"],),
+            "crm_t2i_v3_model_name":
+                (["pixel-diffusion_lora_80k_rank_60_Hyper.pth",
+                  "pixel-diffusion_dora_90k_rank_128_Hyper.pth"],),
+            "crm_config_path": (["sd_v2_base_ipmv_zero_SNR_Hyper.yaml"],),
+            "rank": ("INT", {"default": 64, "min": 1}),
+            "use_dora": ("BOOLEAN", {"default": False}),
+        }}
+
+    def load_CRM(self, crm_model_name="pixel-diffusion_Hyper.pth",
+                 crm_t2i_v3_model_name="", crm_config_path="",
+                 rank=64, use_dora=False):
+        sampler = _mvdream_6view()
+        sampler.lora_rank = int(rank)
+        sampler.use_dora = bool(use_dora)
+        print("[Load_CRM_T2I_V3_Models] initializing random weights "
+              "(no local checkpoints)")
+        return (_adapter_for(sampler), sampler)
+
+
+def _run_t2i_stage1(adapter, sampler, reference_image, reference_mask,
+                    normal_maps, seed, guidance, steps):
+    """Shared V2/V3 stage-1: adapter features from the 6 normal maps →
+    adapter-conditioned 6-view sampling (nodes.py:3585-3607)."""
+    import jax.numpy as jnp
+    import jax
+    nm = np.asarray(normal_maps, np.float32)
+    if nm.ndim == 3:
+        nm = nm[None]
+    v = sampler.cfg.num_views
+    if nm.shape[0] != v:     # broadcast a single map to all views
+        nm = np.broadcast_to(nm[:1], (v,) + nm.shape[1:])
+    # adapter encoder downscales /16; feed maps at 16x the sampler's
+    # latent size so the pyramid lines up with the UNet stages (for
+    # SD-class /8 VAEs that is 2x the image size, nodes.py:3563 feeds
+    # 512 normal maps to the 256 pixel sampler)
+    lat = sampler.cfg.image_size // sampler.cfg.vae_factor
+    target = lat * 16
+    if nm.shape[1] != target:
+        nm = np.asarray(jax.image.resize(
+            jnp.asarray(nm), (v, target, target, 3), "bilinear"))
+    residuals = adapter(nm)
+    views = sampler(num_inference_steps=int(steps),
+                    guidance_scale=float(guidance), seed=int(seed),
+                    adapter_residuals=residuals)
+    return np.asarray(views)
+
+
+@register
+class CRM_T2I_V2_Models:
+    """reference nodes.py:3547 — normal-map-conditioned 6-view RGB."""
+
+    CATEGORY = "Comfy3D/Algorithm"
+    RETURN_TYPES = ("IMAGE", "ORBIT_CAMPOSES")
+    RETURN_NAMES = ("multiview_images", "orbit_camposes")
+    FUNCTION = "run_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "t2iadapter_v2": ("T2IADAPTER_V2",),
+            "crm_mvdiffusion_sampler_v2": ("CRM_MVDIFFUSION_SAMPLER_V2",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "normal_maps": ("IMAGE",),
+            "prompt": ("STRING", {"default": "3D assets",
+                                  "multiline": True}),
+            "prompt_neg": ("STRING", {"default": "ugly, blurry",
+                                      "multiline": True}),
+            "seed": ("INT", {"default": 1234, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "mv_guidance_scale": ("FLOAT", {"default": 5.5, "min": 0.0,
+                                            "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
+        }}
+
+    def run_model(self, t2iadapter_v2, crm_mvdiffusion_sampler_v2,
+                  reference_image, reference_mask, normal_maps,
+                  prompt="3D assets", prompt_neg="", seed=1234,
+                  mv_guidance_scale=5.5, num_inference_steps=50):
+        views = _run_t2i_stage1(
+            t2iadapter_v2, crm_mvdiffusion_sampler_v2, reference_image,
+            reference_mask, normal_maps, seed, mv_guidance_scale,
+            num_inference_steps)
+        return (views, _crm6_camposes())
+
+
+@register
+class CRM_T2I_V3_Models:
+    """reference nodes.py:3730 — PBR variant: albedo + metalness +
+    roughness view sets (the Hyper sampler decodes three heads; here
+    three decodes of the adapter-conditioned trajectory)."""
+
+    CATEGORY = "Comfy3D/Algorithm"
+    RETURN_TYPES = ("IMAGE", "IMAGE", "IMAGE", "ORBIT_CAMPOSES")
+    RETURN_NAMES = ("multiview_albedos", "multiview_metalness",
+                    "multiview_roughness", "orbit_camposes")
+    FUNCTION = "run_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "t2iadapter_v2": ("T2IADAPTER_V2",),
+            "crm_mvdiffusion_sampler_v3": ("CRM_MVDIFFUSION_SAMPLER_V3",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "normal_maps": ("IMAGE",),
+            "prompt": ("STRING", {"default": "3D assets",
+                                  "multiline": True}),
+            "prompt_neg": ("STRING", {"default": "ugly, blurry",
+                                      "multiline": True}),
+            "seed": ("INT", {"default": 1234, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "mv_guidance_scale": ("FLOAT", {"default": 5.5, "min": 0.0,
+                                            "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
+        }}
+
+    def run_model(self, t2iadapter_v2, crm_mvdiffusion_sampler_v3,
+                  reference_image, reference_mask, normal_maps,
+                  prompt="3D assets", prompt_neg="", seed=1234,
+                  mv_guidance_scale=5.5, num_inference_steps=50):
+        outs = [_run_t2i_stage1(
+            t2iadapter_v2, crm_mvdiffusion_sampler_v3, reference_image,
+            reference_mask, normal_maps, seed + k, mv_guidance_scale,
+            num_inference_steps) for k in range(3)]
+        return (outs[0], outs[1], outs[2], _crm6_camposes())

@@ -299,3 +299,138 @@ class Hunyuan3D_V2_ShapeGen_MV:
             guidance_scale=float(guidance_scale),
             octree_resolution=int(octree_resolution))[0]
         return (_cleanup(mesh),)
+
+
+# ------------------------------------------------------------------ #
+# Hunyuan3D V1 (mvd grid + SVRM reconstruction)
+# ------------------------------------------------------------------ #
+@register
+class Hunyuan3D_V1_MVDiffusion_Model:
+    """reference nodes.py:3833 — single image → 3×2 grid of 6 views +
+    the conditioning image. The std/lite mvd pipelines are
+    reference-attention SD pipelines (`Hunyuan3D_V1/mvd/
+    hunyuan3d_mvd_std_pipeline.py:187`), the mechanism our
+    Zero123Plus-style pipeline implements (ref_mode write/read +
+    ramping global embeds), so any grid-producing DIFFUSERS_PIPE
+    plugs in here."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "mvdiffusion_pipe": ("DIFFUSERS_PIPE",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "seed": ("INT", {"default": 0, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "mv_guidance_scale": ("FLOAT", {"default": 2.0, "min": 0.0,
+                                            "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
+        }}
+
+    RETURN_TYPES = ("IMAGE", "IMAGE")
+    RETURN_NAMES = ("multiview_image_grid", "condition_image")
+    FUNCTION = "run_mvdiffusion"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_mvdiffusion(self, mvdiffusion_pipe, reference_image,
+                        reference_mask, seed=0, mv_guidance_scale=2.0,
+                        num_inference_steps=50):
+        import numpy as _np
+        img = _np.asarray(reference_image, _np.float32)
+        if img.ndim == 4:
+            img = img[0]
+        mask = _np.asarray(reference_mask, _np.float32)
+        if mask.ndim == 3:
+            mask = mask[0]
+        img = img * mask[..., None] + (1.0 - mask[..., None])
+        grid = mvdiffusion_pipe(
+            img, seed=int(seed),
+            guidance_scale=float(mv_guidance_scale),
+            num_inference_steps=int(num_inference_steps))
+        grid = _np.asarray(grid, _np.float32)
+        if grid.ndim == 4:
+            grid = grid[0]
+        return (grid[None], img[None])
+
+
+@register
+class Load_Hunyuan3D_V1_Reconstruction_Model:
+    """reference nodes.py:3883 — builds the Views2Mesh SVRM predictor."""
+
+    CATEGORY = "Comfy3D/Import|Export"
+    RETURN_TYPES = ("HUNYUAN3D_V1_RECONSTRUCTION_MODEL",)
+    RETURN_NAMES = ("hunyuan3d_v1_reconstruction_model",)
+    FUNCTION = "load_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "force_download": ("BOOLEAN", {"default": False}),
+            "use_lite": ("BOOLEAN", {"default": True}),
+        }}
+
+    def load_model(self, force_download=False, use_lite=True):
+        import dataclasses as _dc
+        from ..models.hunyuan3d_v1 import SVRMConfig, SVRMPipeline
+        cfg = SVRMConfig()
+        if use_lite:
+            cfg = _dc.replace(cfg, depth=8, pos_emb_dim=768, heads=12)
+        print("[Load_Hunyuan3D_V1_Reconstruction_Model] initializing "
+              "random weights (no local svrm checkpoint)")
+        pipe = SVRMPipeline.init_random(cfg=cfg)
+        pipe.use_lite = bool(use_lite)
+        return (pipe,)
+
+
+@register
+class Hunyuan3D_V1_Reconstruction_Model:
+    """reference nodes.py:3918 — grid + condition image → colored mesh
+    (`infer/views_to_mesh.py:37`): the 3×2 grid is split into 6 views,
+    reordered ([0,1,2,3,4,5] lite / [0,2,4,5,3,1] std), and the
+    condition image is prepended as view 0."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "hunyuan3d_v1_reconstruction_model":
+                ("HUNYUAN3D_V1_RECONSTRUCTION_MODEL",),
+            "multiview_image_grid": ("IMAGE",),
+            "condition_image": ("IMAGE",),
+            "seed": ("INT", {"default": 0, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "target_face_count": ("INT", {"default": 90000, "min": 1}),
+        }}
+
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+    CATEGORY = "Comfy3D/Algorithm"
+
+    def run_model(self, hunyuan3d_v1_reconstruction_model,
+                  multiview_image_grid, condition_image, seed=0,
+                  target_face_count=90000, mesh_size=None):
+        import numpy as _np
+        pipe = hunyuan3d_v1_reconstruction_model
+        grid = _np.asarray(multiview_image_grid, _np.float32)
+        if grid.ndim == 4:
+            grid = grid[0]
+        cond = _np.asarray(condition_image, _np.float32)
+        if cond.ndim == 4:
+            cond = cond[0]
+        gh, gw = grid.shape[0] // 3, grid.shape[1] // 2
+        views = [grid[r * gh:(r + 1) * gh, c * gw:(c + 1) * gw]
+                 for r in range(3) for c in range(2)]
+        order = ([0, 1, 2, 3, 4, 5]
+                 if getattr(pipe, "use_lite", True)
+                 else [0, 2, 4, 5, 3, 1])
+        s = pipe.cfg.cond_size
+        import jax as _jax
+        import jax.numpy as _jnp
+        stack = [cond] + [views[i] for i in order]
+        stack = [_np.asarray(_jax.image.resize(
+            _jnp.asarray(v[..., :3]), (s, s, 3), "bilinear"))
+            for v in stack]
+        ms = mesh_size or (384 if pipe.cfg.pos_emb_size >= 64 else 32)
+        mesh = pipe.views_to_mesh(_np.stack(stack), mesh_size=ms,
+                                  target_faces=int(target_face_count))
+        return (mesh,)

@@ -630,3 +630,48 @@ class ExplicitTarget_Mesh_Optimization:
                          iterations=int(optimization_steps))
         out = diff_mesh.fit(mesh, cams, imgs, masks, cfg)
         return (out[0] if isinstance(out, tuple) else out,)
+
+
+@register
+class TripoSG_Scribble_Model:
+    """reference nodes.py:4217 — scribble sketch (+ prompt) → mesh via
+    the CFG-distilled TripoSG-scribble DiT (guidance fixed at 0; the
+    text/scribble confidences scale the two cross-attention streams)."""
+
+    CATEGORY = "Comfy3D/Algorithm"
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "tsg_scribble_pipe": ("DIFFUSERS_PIPE",),
+            "scribble_image": ("IMAGE",),
+            "prompt": ("STRING", {"default": "3D assets",
+                                  "multiline": True}),
+            "seed": ("INT", {"default": 42, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "num_inference_steps": ("INT", {"default": 16, "min": 1}),
+            "scribble_confidence": ("FLOAT", {"default": 0.4,
+                                              "min": 0.0, "step": 0.01}),
+            "prompt_confidence": ("FLOAT", {"default": 1.0, "min": 0.0,
+                                            "step": 0.01}),
+            "dense_octree_depth": ("INT", {"default": 8, "min": 1}),
+        }}
+
+    def run_model(self, tsg_scribble_pipe, scribble_image,
+                  prompt="3D assets", seed=42, num_inference_steps=16,
+                  scribble_confidence=0.4, prompt_confidence=1.0,
+                  dense_octree_depth=8, **_):
+        img = np.asarray(scribble_image, np.float32)
+        if img.ndim == 4:
+            img = img[0]
+        if img.shape[-1] == 4:
+            a = img[..., 3:4]
+            img = img[..., :3] * a + (1.0 - a)
+        mesh = tsg_scribble_pipe(
+            img, seed=int(seed), num_steps=int(num_inference_steps),
+            guidance_scale=0.0,     # CFG-distilled model
+            octree_resolution=2 ** int(dense_octree_depth))[0]
+        return (mesh.auto_normal(),)

@@ -159,8 +159,9 @@ class Hunyuan3D_21_TexGen:
 
 @register
 class Load_Hunyuan3D_V2_TexGen_Pipeline:
-    """reference nodes.py:4365 — placeholder handle for the simplified
-    projection paint path (see Hunyuan3D_21_TexGen docstring)."""
+    """reference nodes.py:4365 — builds the multiview paint pipeline
+    (`hy3dgen/texgen/pipelines.py:53`): geometry-conditioned 6-view
+    diffusion + weighted bake. Turbo = fewer denoise steps."""
 
     CATEGORY = "Comfy3D/Import|Export"
     RETURN_TYPES = ("DIFFUSERS_PIPE",)
@@ -174,7 +175,45 @@ class Load_Hunyuan3D_V2_TexGen_Pipeline:
         }}
 
     def load(self, model_variant="Turbo"):
-        return ({"variant": model_variant},)
+        from ..models.hunyuan3d import Hunyuan3DPaintPipeline
+        print("[Load_Hunyuan3D_V2_TexGen_Pipeline] initializing random "
+              "weights (no local paint checkpoint)")
+        pipe = Hunyuan3DPaintPipeline.init_random()
+        pipe.default_steps = 8 if model_variant == "Turbo" else 25
+        return (pipe,)
+
+
+@register
+class Hunyuan3D_V2_Paint_Model:
+    """reference nodes.py:4016 — mesh + reference image → textured
+    mesh through the multiview paint pipeline."""
+
+    CATEGORY = "Comfy3D/Algorithm"
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
+    FUNCTION = "run_model"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "hunyuan3d_v2_texgen_pipe": ("DIFFUSERS_PIPE",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
+            "mesh": ("MESH",),
+        }}
+
+    def run_model(self, hunyuan3d_v2_texgen_pipe, reference_image,
+                  reference_mask, mesh):
+        img = np.asarray(reference_image, np.float32)
+        if img.ndim == 4:
+            img = img[0]
+        mask = np.asarray(reference_mask, np.float32)
+        if mask.ndim == 3:
+            mask = mask[0]
+        img = img[..., :3] * mask[..., None] + (1.0 - mask[..., None])
+        pipe = hunyuan3d_v2_texgen_pipe
+        steps = getattr(pipe, "default_steps", 8)
+        return (pipe(mesh, img, num_steps=steps),)
 
 
 @register
@@ -199,6 +238,17 @@ class Hunyuan3D_V2_Paint_Model_Turbo_MV:
     def run_model(self, hunyuan3d_v2_texgen_pipe, images, mesh):
         from ..algorithms import color_project
         from ..core.camera import Camera
+        from ..models.hunyuan3d import Hunyuan3DPaintPipeline
+
+        if (isinstance(hunyuan3d_v2_texgen_pipe, Hunyuan3DPaintPipeline)
+                and len(images) == 1):
+            im = np.asarray(images[0], np.float32)
+            if im.shape[-1] == 4:
+                a = im[..., 3:4]
+                im = im[..., :3] * a + (1.0 - a)
+            steps = getattr(hunyuan3d_v2_texgen_pipe, "default_steps", 8)
+            return (hunyuan3d_v2_texgen_pipe(mesh, im,
+                                             num_steps=steps),)
 
         views = []
         for im in images:

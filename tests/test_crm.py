@@ -45,3 +45,59 @@ def test_nodes_registered():
                  "[Comfy3D] Load Convolutional Reconstruction Model",
                  "[Comfy3D] Convolutional Reconstruction Model"):
         assert name in m
+
+
+class TestT2IAdapter:
+    @pytest.fixture(scope="class")
+    def tiny_sampler(self):
+        import dataclasses as dc
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        import test_diffusion as td
+        from comfy3d_tpu.models.mvdream import (MVDreamConfig,
+                                                MVDreamPipeline)
+        ucfg = dc.replace(td.tiny_unet_cfg(), mv_views=2)
+        cfg = MVDreamConfig(image_size=32, num_views=2, unet=ucfg,
+                            vae=td.tiny_vae_cfg(), prompt_tokens=7,
+                            prompt_dim=16)
+        return MVDreamPipeline.init_random(cfg=cfg)
+
+    @pytest.fixture(scope="class")
+    def adapter(self, tiny_sampler):
+        from comfy3d_tpu.nodes.nodes_crm import _T2IAdapterRunner
+        from comfy3d_tpu.models.crm.t2i_adapter import T2IAdapterConfig
+        return _T2IAdapterRunner(T2IAdapterConfig(
+            channels=tuple(tiny_sampler.cfg.unet.block_out_channels),
+            num_res_blocks=1, cond_channels=(4, 8, 8, 8, 8)))
+
+    def test_adapter_pyramid(self, adapter):
+        # tiny sampler: image 32 / vae_factor 2 -> latent 16; adapter
+        # input is latent*16 = 256
+        feats = adapter(np.zeros((2, 256, 256, 3), np.float32))
+        assert len(feats) == 2
+        assert feats[0].shape == (2, 16, 16, 8)
+        assert feats[1].shape == (2, 8, 8, 16)
+
+    def test_adapter_conditions_sampler(self, adapter, tiny_sampler):
+        import jax.numpy as jnp
+        nm_a = np.random.RandomState(0).rand(2, 256, 256, 3).astype(
+            np.float32)
+        nm_b = np.random.RandomState(1).rand(2, 256, 256, 3).astype(
+            np.float32)
+        va = np.asarray(tiny_sampler(
+            num_inference_steps=2, seed=0,
+            adapter_residuals=adapter(nm_a)))
+        vb = np.asarray(tiny_sampler(
+            num_inference_steps=2, seed=0,
+            adapter_residuals=adapter(nm_b)))
+        assert va.shape == (2, 32, 32, 3)
+        assert np.abs(va - vb).max() > 1e-6
+
+    def test_t2i_nodes_registered(self):
+        from comfy3d_tpu.nodes.graph import load_node_mappings
+        m = load_node_mappings()
+        for name in ("[Comfy3D] Load CRM T2I V2 Models",
+                     "[Comfy3D] CRM T2I V2 Models",
+                     "[Comfy3D] Load CRM T2I V3 Models",
+                     "[Comfy3D] CRM T2I V3 Models"):
+            assert name in m

@@ -1,0 +1,76 @@
+"""Hunyuan3D V2 paint pipeline tests (tiny config)."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import test_diffusion as td
+from comfy3d_tpu.core.mesh import Mesh
+from comfy3d_tpu.models.hunyuan3d import Hunyuan3DPaintPipeline, PaintConfig
+
+
+def _tiny_cfg():
+    u = dc.replace(td.tiny_unet_cfg(), in_channels=12, mv_views=6)
+    return PaintConfig(render_size=32, texture_size=64, unet=u,
+                       vae=td.tiny_vae_cfg(), prompt_tokens=3,
+                       prompt_dim=16)
+
+
+def _cube():
+    v = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                  for z in (-0.5, 0.5)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return Mesh(v=v, f=f).auto_normal()
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return Hunyuan3DPaintPipeline.init_random(cfg=_tiny_cfg())
+
+
+def test_render_geometry(pipe):
+    n, p = pipe.render_geometry(_cube())
+    assert n.shape == (6, 32, 32, 3)
+    assert p.shape == (6, 32, 32, 3)
+    assert float(np.asarray(n).max()) > 0.0  # something rendered
+
+
+def test_paint_views(pipe):
+    views = np.asarray(pipe.paint_views(
+        _cube(), np.random.RandomState(0).rand(32, 32, 3).astype(
+            np.float32), num_steps=2))
+    assert views.shape == (6, 32, 32, 3)
+    assert views.min() >= 0.0 and views.max() <= 1.0
+
+
+def test_reference_image_conditions_views(pipe):
+    m = _cube()
+    a = np.random.RandomState(1).rand(32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(32, 32, 3).astype(np.float32)
+    va = np.asarray(pipe.paint_views(m, a, num_steps=2))
+    vb = np.asarray(pipe.paint_views(m, b, num_steps=2))
+    assert np.abs(va - vb).max() > 1e-6
+
+
+def test_full_paint(pipe):
+    img = np.random.RandomState(3).rand(32, 32, 3).astype(np.float32)
+    mesh = pipe(_cube(), img, num_steps=2)
+    assert mesh.albedo is not None
+    assert mesh.albedo.shape[0] == 64
+
+
+def test_camera_info_labels():
+    from comfy3d_tpu.models.hunyuan3d.paint import _camera_info
+    cfg = PaintConfig()
+    labels = _camera_info(cfg.camera_azims, cfg.camera_elevs)
+    assert labels.shape == (6,)
+    assert (labels >= 0).all() and (labels < cfg.num_cls).all()
+
+
+def test_paint_node_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    assert "[Comfy3D] Hunyuan3D V2 Paint Model" in m

@@ -1,0 +1,68 @@
+"""Hunyuan3D V1 (SVRM views→mesh) tests at tiny config."""
+
+import numpy as np
+import pytest
+
+from comfy3d_tpu.models.hunyuan3d_v1 import SVRMConfig, SVRMPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SVRMPipeline.init_random(cfg=SVRMConfig.tiny())
+
+
+def test_views_to_mesh(pipe):
+    views = np.random.RandomState(0).rand(3, 28, 28, 3).astype(np.float32)
+    mesh = pipe.views_to_mesh(views, mesh_size=24)
+    assert mesh.num_vertices > 0
+    assert mesh.vc is not None and mesh.vc.shape == (mesh.num_vertices, 3)
+    assert mesh.vc.min() >= 0.0 and mesh.vc.max() <= 1.0
+    # surface stays inside the query radius
+    assert np.abs(mesh.v).max() <= pipe.cfg.radius + 1e-5
+
+
+def test_views_condition_output(pipe):
+    a = np.random.RandomState(1).rand(2, 28, 28, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(2, 28, 28, 3).astype(np.float32)
+    pa = np.asarray(pipe._forward(pipe.params, a,
+                                  pipe.default_cams(2)))
+    pb = np.asarray(pipe._forward(pipe.params, b,
+                                  pipe.default_cams(2)))
+    assert np.abs(pa - pb).max() > 1e-6
+
+
+def test_camera_condition(pipe):
+    v = np.random.RandomState(3).rand(2, 28, 28, 3).astype(np.float32)
+    c1 = pipe.default_cams(2)
+    c2 = c1.copy()
+    c2[:, 0] += 1.0
+    p1 = np.asarray(pipe._forward(pipe.params, v, c1))
+    p2 = np.asarray(pipe._forward(pipe.params, v, c2))
+    assert np.abs(p1 - p2).max() > 1e-6
+
+
+def test_target_faces(pipe):
+    views = np.random.RandomState(4).rand(2, 28, 28, 3).astype(np.float32)
+    mesh = pipe.views_to_mesh(views, mesh_size=24, target_faces=50)
+    assert 0 < len(mesh.f) <= 80  # fallback subsample keeps ≈target
+    assert mesh.vc.shape == (mesh.num_vertices, 3)
+
+
+def test_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Hunyuan3D V1 MVDiffusion Model",
+                 "[Comfy3D] Load Hunyuan3D V1 Reconstruction Model",
+                 "[Comfy3D] Hunyuan3D V1 Reconstruction Model"):
+        assert name in m
+
+
+def test_reconstruction_node(pipe):
+    from comfy3d_tpu.nodes.nodes_hunyuan3d import (
+        Hunyuan3D_V1_Reconstruction_Model)
+    pipe.use_lite = True
+    grid = np.random.RandomState(5).rand(1, 96, 64, 3).astype(np.float32)
+    cond = np.random.RandomState(6).rand(1, 32, 32, 3).astype(np.float32)
+    (mesh,) = Hunyuan3D_V1_Reconstruction_Model().run_model(
+        pipe, grid, cond, seed=0, target_face_count=90000, mesh_size=16)
+    assert mesh.num_vertices > 0

@@ -80,3 +80,27 @@ def test_pipeline_parts_and_merge(pipe):
     merged = merge_parts(parts)
     assert merged.v.shape[1] == 3
     assert merged.vc is not None
+
+
+def test_generate_node(pipe, tmp_path, monkeypatch):
+    import comfy3d_tpu.nodes.nodes_partcrafter as npc
+    monkeypatch.setattr(npc, "OUTPUT_ROOT_PATH", str(tmp_path))
+    img = np.random.RandomState(0).rand(1, 28, 28, 3).astype(np.float32)
+    zp, gp, proc, merged = npc.PartCrafter_Generate().generate(
+        pipe, img, num_parts=2, seed=0, num_inference_steps=2,
+        octree_resolution=16)
+    import zipfile
+    with zipfile.ZipFile(zp) as zf:
+        assert len(zf.namelist()) == 2
+    assert (tmp_path / "partcrafter_scenes" / "scene.glb").exists()
+    assert proc.shape == (1, 28, 28, 3)
+    assert merged.num_vertices >= 0
+
+
+def test_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Load PartCrafter Pipeline",
+                 "[Comfy3D] Load PartCrafter Scene Pipeline",
+                 "[Comfy3D] PartCrafter Generate"):
+        assert name in m

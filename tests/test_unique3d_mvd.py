@@ -1,0 +1,101 @@
+"""Unique3D custom diffusion pipelines + diffusers plumbing nodes."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import test_diffusion as td
+from comfy3d_tpu.models.unique3d import (Unique3DImage2MVPipeline,
+                                         Unique3DImage2NormalPipeline,
+                                         Unique3DMVConfig,
+                                         Unique3DNormalConfig)
+
+
+def _tiny_mv_cfg():
+    u = dc.replace(td.tiny_unet_cfg(), in_channels=8, mv_views=4)
+    return Unique3DMVConfig(image_size=32, unet=u, vae=td.tiny_vae_cfg(),
+                            prompt_tokens=1, prompt_dim=16)
+
+
+def _tiny_normal_cfg():
+    u = dc.replace(td.tiny_unet_cfg(), in_channels=8)
+    return Unique3DNormalConfig(image_size=32, unet=u,
+                                vae=td.tiny_vae_cfg(),
+                                prompt_tokens=1, prompt_dim=16)
+
+
+@pytest.fixture(scope="module")
+def mv_pipe():
+    return Unique3DImage2MVPipeline.init_random(cfg=_tiny_mv_cfg())
+
+
+@pytest.fixture(scope="module")
+def normal_pipe():
+    return Unique3DImage2NormalPipeline.init_random(cfg=_tiny_normal_cfg())
+
+
+def test_image2mv_shapes(mv_pipe):
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    views = np.asarray(mv_pipe(img, num_inference_steps=2))
+    assert views.shape == (4, 32, 32, 3)
+    assert views.min() >= 0.0 and views.max() <= 1.0
+
+
+def test_image2mv_conditions_on_input(mv_pipe):
+    a = np.random.RandomState(1).rand(32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(32, 32, 3).astype(np.float32)
+    va = np.asarray(mv_pipe(a, num_inference_steps=2))
+    vb = np.asarray(mv_pipe(b, num_inference_steps=2))
+    assert np.abs(va - vb).max() > 1e-6
+
+
+def test_image2mv_views_differ(mv_pipe):
+    """The class embedding must differentiate the 4 views."""
+    img = np.random.RandomState(3).rand(32, 32, 3).astype(np.float32)
+    v = np.asarray(mv_pipe(img, num_inference_steps=2))
+    assert np.abs(v[0] - v[1]).max() > 1e-6
+
+
+def test_image2normal_shapes(normal_pipe):
+    img = np.random.RandomState(4).rand(32, 32, 3).astype(np.float32)
+    n = np.asarray(normal_pipe(img, num_inference_steps=2))
+    assert n.shape == (1, 32, 32, 3)
+
+
+def test_image2normal_ref_conditioning(normal_pipe):
+    a = np.random.RandomState(5).rand(32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(6).rand(32, 32, 3).astype(np.float32)
+    na = np.asarray(normal_pipe(a, num_inference_steps=2))
+    nb = np.asarray(normal_pipe(b, num_inference_steps=2))
+    assert np.abs(na - nb).max() > 1e-6
+
+
+def test_mvdiffusion_node(mv_pipe):
+    from comfy3d_tpu.nodes.nodes_diffusers import Unique3D_MVDiffusion_Model
+    img = np.random.RandomState(7).rand(1, 32, 32, 3).astype(np.float32)
+    views, poses = Unique3D_MVDiffusion_Model().run_model(
+        mv_pipe, img, num_inference_steps=2, image_resolution=32)
+    assert views.shape == (4, 32, 32, 3)
+    assert len(poses) == 4 and len(poses[0]) == 6
+    assert poses[1][2] == 90.0
+
+
+def test_plumbing_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Load Diffusers Pipeline",
+                 "[Comfy3D] Set Diffusers Pipeline Scheduler",
+                 "[Comfy3D] Set Diffusers Pipeline State Dict",
+                 "[Comfy3D] Load Unique3D Custom UNet",
+                 "[Comfy3D] Unique3D MVDiffusion Model"):
+        assert name in m
+
+
+def test_scheduler_setter(mv_pipe):
+    from comfy3d_tpu.nodes.nodes_diffusers import (
+        Set_Diffusers_Pipeline_Scheduler)
+    (pipe,) = Set_Diffusers_Pipeline_Scheduler().set_pipe_scheduler(
+        mv_pipe, "EulerAncestralDiscreteScheduler")
+    assert pipe.cfg.scheduler.timestep_spacing == "trailing"
+    assert pipe.scheduler_name == "EulerAncestralDiscreteScheduler"
