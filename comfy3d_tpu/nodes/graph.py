@@ -128,9 +128,9 @@ def run_workflow(workflow: Dict | str, overrides: Optional[Dict] = None,
 
 def load_node_mappings():
     """Import all node modules (populates NODE_CLASS_MAPPINGS)."""
-    from . import (nodes_crm, nodes_diffusers,  # noqa: F401
-                   nodes_hunyuan3d, nodes_io, nodes_models,
-                   nodes_mvdiffusion, nodes_partcrafter,
-                   nodes_preprocess, nodes_render, nodes_stablegen,
-                   nodes_texture, nodes_trellis)
+    from . import (nodes_charactergen, nodes_crm,  # noqa: F401
+                   nodes_diffusers, nodes_hunyuan3d, nodes_io,
+                   nodes_models, nodes_mvadapter, nodes_mvdiffusion,
+                   nodes_partcrafter, nodes_preprocess, nodes_render,
+                   nodes_stablegen, nodes_texture, nodes_trellis)
     return NODE_CLASS_MAPPINGS

@@ -1,0 +1,81 @@
+"""CharacterGen 2D + LRM tests (tiny configs)."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import test_diffusion as td
+from comfy3d_tpu.models.charactergen import (CharacterGen2DConfig,
+                                             CharacterGen2DPipeline,
+                                             CharacterGenLRMConfig,
+                                             CharacterGenLRMPipeline)
+
+
+def _tiny_2d():
+    u = dc.replace(td.tiny_unet_cfg(), mv_views=4)
+    return CharacterGen2DConfig(width=32, height=48, unet=u,
+                                vae=td.tiny_vae_cfg(), prompt_tokens=3,
+                                prompt_dim=16)
+
+
+@pytest.fixture(scope="module")
+def pipe2d():
+    return CharacterGen2DPipeline.init_random(cfg=_tiny_2d())
+
+
+@pytest.fixture(scope="module")
+def lrm():
+    return CharacterGenLRMPipeline.init_random(
+        cfg=CharacterGenLRMConfig.tiny())
+
+
+def test_2d_shapes_nonsquare(pipe2d):
+    img = np.random.RandomState(0).rand(48, 32, 3).astype(np.float32)
+    views = np.asarray(pipe2d.inference(img, num_inference_steps=2))
+    assert views.shape == (4, 48, 32, 3)
+    assert views.min() >= 0.0 and views.max() <= 1.0
+
+
+def test_2d_reference_conditioning(pipe2d):
+    a = np.random.RandomState(1).rand(48, 32, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(48, 32, 3).astype(np.float32)
+    va = np.asarray(pipe2d.inference(a, num_inference_steps=2))
+    vb = np.asarray(pipe2d.inference(b, num_inference_steps=2))
+    assert np.abs(va - vb).max() > 1e-6
+
+
+def test_cameras():
+    from comfy3d_tpu.models.charactergen.pipeline import (
+        charactergen_cameras)
+    cams = charactergen_cameras(4)
+    assert cams.shape == (4, 12)
+    assert not np.allclose(cams[0], cams[1])
+
+
+def test_lrm_mesh(lrm):
+    imgs = np.random.RandomState(3).rand(4, 28, 28, 3).astype(np.float32)
+    mesh = lrm.inference(imgs, mesh_size=20)
+    assert mesh.num_vertices > 0
+    assert np.abs(mesh.v).max() <= lrm.cfg.svrm.radius + 1e-5
+
+
+def test_reconstruction_node(lrm):
+    from comfy3d_tpu.nodes.nodes_charactergen import (
+        CharacterGen_Reconstruction_Model)
+    lrm.cfg = dc.replace(lrm.cfg, mesh_size=20)
+    imgs = np.random.RandomState(4).rand(4, 36, 24, 3).astype(np.float32)
+    masks = np.ones((4, 36, 24), np.float32)
+    (mesh,) = CharacterGen_Reconstruction_Model().run_LRM(
+        lrm, imgs, masks)
+    assert mesh.num_vertices > 0
+
+
+def test_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Load CharacterGen MVDiffusion Model",
+                 "[Comfy3D] CharacterGen MVDiffusion Model",
+                 "[Comfy3D] Load CharacterGen Reconstruction Model",
+                 "[Comfy3D] CharacterGen Reconstruction Model"):
+        assert name in m

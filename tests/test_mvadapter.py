@@ -1,0 +1,96 @@
+"""MV-Adapter pipelines + nodes (tiny configs)."""
+
+import dataclasses as dc
+import os
+
+import numpy as np
+import pytest
+
+import test_diffusion as td
+from comfy3d_tpu.core.mesh import Mesh
+from comfy3d_tpu.models.mvadapter import (MVAdapterConfig,
+                                          MVAdapterIG2MVPipeline,
+                                          MVAdapterTG2MVPipeline,
+                                          render_control_images)
+
+
+def _tiny_cfg():
+    u = dc.replace(td.tiny_unet_cfg(), mv_views=3)
+    return MVAdapterConfig(image_size=32, num_views=3,
+                           camera_azims=(0., 120., 240.),
+                           camera_elevs=(0., 0., 0.), unet=u,
+                           vae=td.tiny_vae_cfg(), prompt_tokens=3,
+                           prompt_dim=16)
+
+
+def _cube():
+    v = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                  for z in (-0.5, 0.5)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return Mesh(v=v, f=f).auto_normal()
+
+
+@pytest.fixture(scope="module")
+def ig_pipe():
+    return MVAdapterIG2MVPipeline.init_random(cfg=_tiny_cfg())
+
+
+@pytest.fixture(scope="module")
+def tg_pipe():
+    return MVAdapterTG2MVPipeline.init_random(cfg=_tiny_cfg())
+
+
+def test_control_renders(ig_pipe):
+    pos, nrm = render_control_images(_cube(), ig_pipe.cfg, 32)
+    assert pos.shape == (3, 32, 32, 3)
+    assert nrm.shape == (3, 32, 32, 3)
+    assert float(np.asarray(pos).max()) > 0.0
+
+
+def test_ig2mv(ig_pipe):
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    views, pos, nrm = ig_pipe(_cube(), img, num_inference_steps=2)
+    assert np.asarray(views).shape == (3, 32, 32, 3)
+
+
+def test_ig2mv_reference_conditioning(ig_pipe):
+    m = _cube()
+    a = np.random.RandomState(1).rand(32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(2).rand(32, 32, 3).astype(np.float32)
+    va = np.asarray(ig_pipe(m, a, num_inference_steps=2)[0])
+    vb = np.asarray(ig_pipe(m, b, num_inference_steps=2)[0])
+    assert np.abs(va - vb).max() > 1e-6
+
+
+def test_tg2mv(tg_pipe):
+    views, pos, nrm = tg_pipe(_cube(), num_inference_steps=2)
+    assert np.asarray(views).shape == (3, 32, 32, 3)
+
+
+def test_texture_projection_node(tmp_path):
+    from comfy3d_tpu.nodes.nodes_mvadapter import (
+        MVAdapter_Texture_Projection, _views_to_grid)
+    mesh_path = str(tmp_path / "cube.obj")
+    _cube().write(mesh_path)
+    views = np.random.RandomState(3).rand(6, 32, 32, 3).astype(
+        np.float32)
+    grid = _views_to_grid(views)
+    assert grid.shape == (64, 96, 3)
+    shaded, pbr = MVAdapter_Texture_Projection().run(
+        {}, grid[None], mesh_path, save_dir=str(tmp_path),
+        save_name="t", uv_size=512)
+    assert os.path.exists(shaded) and os.path.exists(pbr)
+
+
+def test_nodes_registered():
+    from comfy3d_tpu.nodes.graph import load_node_mappings
+    m = load_node_mappings()
+    for name in ("[Comfy3D] Load MVAdapter IG2MV Pipeline",
+                 "[Comfy3D] MVAdapter IG2MV",
+                 "[Comfy3D] Load MVAdapter TG2MV Pipeline",
+                 "[Comfy3D] MVAdapter TG2MV",
+                 "[Comfy3D] Load MVAdapter Texture Pipeline",
+                 "[Comfy3D] MVAdapter Texture Projection"):
+        assert name in m
