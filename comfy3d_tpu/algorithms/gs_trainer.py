@@ -41,7 +41,7 @@ from ..ops import gs_render, ssim as ssim_ops
 @dataclasses.dataclass(frozen=True)
 class GSTrainConfig:
     # training (defaults mirror GSParams, main_3DGS.py:15-74)
-    iterations: int = 3000
+    iterations: int = 30_000
     batch_size: int = 1
     lambda_ssim: float = 0.2
     lambda_alpha: float = 3.0
@@ -192,8 +192,13 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
 
         l1 = jnp.abs(rendered_masked - target_masked).mean()
         l_alpha = ((alpha - ref_m) ** 2).mean()
+        # pytorch_msssim's 5-level default (main_3DGS.py:102), clamped
+        # to what the render size supports (each level halves; a level
+        # needs >= the 11px window)
+        side = min(target_masked.shape[1], target_masked.shape[2])
+        levels = max(1, min(5, int(np.log2(max(side // 11, 1))) + 1))
         l_ssim = 1.0 - ssim_ops.ms_ssim(target_masked, rendered_masked,
-                                        levels=3)
+                                        levels=levels)
         loss = ((1 - cfg.lambda_ssim) * l1 + cfg.lambda_alpha * l_alpha
                 + cfg.lambda_ssim * l_ssim)
         aux = {"radii": outs["radii"], "loss_l1": l1, "loss_alpha": l_alpha,

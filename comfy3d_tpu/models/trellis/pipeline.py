@@ -165,8 +165,8 @@ class TrellisImageTo3DPipeline:
         xyz = np.argwhere(occ).astype(np.int32)
         cap = c.capacity
         if len(xyz) > cap:
-            xyz = xyz[np.random.RandomState(seed).permutation(
-                len(xyz))[:cap]]
+            xyz = xyz[np.random.RandomState(
+                seed % (2 ** 32)).permutation(len(xyz))[:cap]]
         coords = np.zeros((cap, 4), np.int32)
         coords[:len(xyz), 1:] = xyz
         mask = np.zeros((cap,), bool)

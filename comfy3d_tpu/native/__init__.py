@@ -148,10 +148,43 @@ def decimate_mesh(verts: np.ndarray, faces: np.ndarray, target_faces: int):
                           len(faces), int(target_faces), _fptr(ov),
                           _iptr(of), ctypes.byref(nv), ctypes.byref(nf))
         return ov[:nv.value].copy(), of[:nf.value].copy()
-    # numpy fallback: random face subsample (shape-preserving enough for
-    # previews; real decimation needs the native lib)
-    sel = np.random.RandomState(0).choice(len(faces), target_faces,
-                                          replace=False)
-    f = faces[sel]
-    used, inv = np.unique(f.reshape(-1), return_inverse=True)
-    return verts[used].copy(), inv.reshape(-1, 3).astype(np.int32)
+    # numpy fallback: vertex-clustering decimation — snap vertices to a
+    # uniform grid sized so the surviving face count lands near target,
+    # merge clusters, drop degenerate faces. Watertight-ish and
+    # hole-free, unlike face subsampling.
+    lo, hi = verts.min(0), verts.max(0)
+    span = np.maximum(hi - lo, 1e-6)
+    # face count scales ~ cells²; binary-search the grid resolution
+    res_lo, res_hi = 2, 512
+    best = None
+    for _ in range(10):
+        res = (res_lo + res_hi) // 2
+        cell = (np.clip(((verts - lo) / span * res), 0, res - 1)
+                .astype(np.int64))
+        key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        f = inv[faces]
+        keep = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+                & (f[:, 0] != f[:, 2]))
+        nf = int(keep.sum())
+        if best is None or abs(nf - target_faces) < abs(best[0]
+                                                        - target_faces):
+            best = (nf, uniq, inv, f[keep])
+        if nf > target_faces:
+            res_hi = res - 1
+        else:
+            res_lo = res + 1
+        if res_lo > res_hi:
+            break
+    _, uniq, inv, f = best
+    # cluster representative = mean position
+    nv = len(uniq)
+    acc = np.zeros((nv, 3), np.float64)
+    cnt = np.zeros((nv,), np.int64)
+    np.add.at(acc, inv, verts)
+    np.add.at(cnt, inv, 1)
+    v = (acc / cnt[:, None]).astype(np.float32)
+    # drop duplicate faces
+    fs = np.sort(f, axis=1)
+    _, first = np.unique(fs, axis=0, return_index=True)
+    return v, f[np.sort(first)].astype(np.int32)

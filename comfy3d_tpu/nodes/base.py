@@ -84,3 +84,38 @@ def error_none(class_name: str, message: str):
     """Reference-style failure: print + None return (nodes.py:1308-1311)."""
     print(f"[{class_name}] {message}")
     return (None,)
+
+
+def resume_or_download_model_from_hf(checkpoints_dir: str, repo_id: str,
+                                     model_name: str,
+                                     class_name: str = "") -> str:
+    """Local-first checkpoint resolution (reference
+    `shared_utils/common_utils.py` resume_or_download role).
+
+    Looks for `<checkpoints_dir>/<model_name>`; if absent, attempts a
+    huggingface_hub download when the library + network are available,
+    else raises with the exact path to place the file at."""
+    import os
+    path = os.path.join(checkpoints_dir, model_name)
+    if os.path.exists(path):
+        return path
+    try:
+        from huggingface_hub import hf_hub_download
+        os.makedirs(checkpoints_dir, exist_ok=True)
+        try:   # hub cache hit needs no network
+            return hf_hub_download(repo_id=repo_id, filename=model_name,
+                                   local_dir=checkpoints_dir,
+                                   local_files_only=True)
+        except Exception:
+            pass
+        if os.environ.get("COMFY3D_ALLOW_DOWNLOAD", "0") != "1":
+            raise RuntimeError(
+                "network download disabled (set "
+                "COMFY3D_ALLOW_DOWNLOAD=1 to enable)")
+        return hf_hub_download(repo_id=repo_id, filename=model_name,
+                               local_dir=checkpoints_dir)
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"[{class_name}] checkpoint {model_name!r} not found at "
+            f"{path} and download from {repo_id!r} unavailable "
+            f"({type(exc).__name__}). Place the file at that path.")

@@ -456,36 +456,53 @@ class TripoSG_I23D_Model:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {
-            "triposg_pipe": ("DIFFUSERS_PIPE",),
-            "reference_image": ("IMAGE",),
-            "reference_mask": ("MASK",),
-            "seed": ("INT", {"default": 42, "min": 0,
-                             "max": 0xffffffffffffffff}),
-            "guidance_scale": ("FLOAT", {"default": 7.0, "min": 0.0,
-                                         "step": 0.01}),
-            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
-            "octree_resolution": ("INT", {"default": 256, "min": 64}),
-        }}
+        return {
+            "required": {
+                "tsg_pipe": ("DIFFUSERS_PIPE",),
+                "reference_image": ("IMAGE",),
+                "seed": ("INT", {"default": 42, "min": 0,
+                                 "max": 0xffffffffffffffff}),
+                "guidance_scale": ("FLOAT", {"default": 7.0, "min": 0.0,
+                                             "step": 0.01}),
+                "num_inference_steps": ("INT", {"default": 50,
+                                                "min": 1}),
+                "use_flash_decoder": ("BOOLEAN", {"default": True}),
+                "flash_octree_depth": ("INT", {"default": 9, "min": 1}),
+                "hierarchical_octree_depth": ("INT", {"default": 9,
+                                                      "min": 1}),
+                "dense_octree_depth": ("INT", {"default": 8, "min": 1}),
+            },
+            "optional": {"reference_mask": ("MASK",)},
+        }
 
     RETURN_TYPES = ("MESH",)
     RETURN_NAMES = ("mesh",)
     FUNCTION = "run_model"
     CATEGORY = "Comfy3D/Algorithm"
 
-    def run_model(self, triposg_pipe, reference_image, reference_mask,
-                  seed=42, guidance_scale=7.0, num_inference_steps=50,
-                  octree_resolution=256):
+    def run_model(self, tsg_pipe, reference_image, seed=42,
+                  guidance_scale=7.0, num_inference_steps=50,
+                  use_flash_decoder=True, flash_octree_depth=9,
+                  hierarchical_octree_depth=9, dense_octree_depth=8,
+                  reference_mask=None, **_):
         import jax.numpy as jnp
         from ..core import image as img_utils
 
-        img = np.asarray(img_utils.composite_background(
-            jnp.asarray(reference_image), jnp.asarray(reference_mask),
-            (1.0, 1.0, 1.0)))[0]
-        mesh = triposg_pipe(
+        if reference_mask is not None:
+            img = np.asarray(img_utils.composite_background(
+                jnp.asarray(reference_image),
+                jnp.asarray(reference_mask), (1.0, 1.0, 1.0)))[0]
+        else:
+            img = np.asarray(reference_image, np.float32)
+            if img.ndim == 4:
+                img = img[0]
+            if img.shape[-1] == 4:
+                a = img[..., 3:4]
+                img = img[..., :3] * a + (1.0 - a)
+        mesh = tsg_pipe(
             img, seed=int(seed), num_steps=int(num_inference_steps),
             guidance_scale=float(guidance_scale),
-            octree_resolution=int(octree_resolution))[0]
+            octree_resolution=2 ** int(dense_octree_depth))[0]
         return (mesh.auto_normal(),)
 
 

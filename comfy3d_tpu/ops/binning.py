@@ -76,9 +76,11 @@ def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
     ntiles = grid_h * grid_w
     prim_bits = max(n - 1, 1).bit_length()
     tile_bits = ntiles.bit_length()
-    assert prim_bits + tile_bits <= 32, (
-        f"key overflow: {n} prims × {ntiles} tiles needs "
-        f"{prim_bits}+{tile_bits} bits")
+    # packed single-key sort when (tile|prim) fits u32; above that
+    # (reference-scale: 2048² tiles × 1M+ densified splats) fall back
+    # to a stable sort on the tile key carrying prim ids separately —
+    # same contract (within-tile ascending prim order), no 32-bit wall
+    packed = prim_bits + tile_bits <= 32
 
     t = jnp.int32(TILE)
     tx0 = jnp.clip(jnp.floor(bbox_min[:, 0] / t), 0, grid_w - 1
@@ -106,16 +108,28 @@ def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
     w_safe = jnp.maximum(w, 1)[:, None]
     tile = (ty0[:, None] + j // w_safe) * grid_w + tx0[:, None] + j % w_safe
     prim_ids = jnp.arange(n, dtype=jnp.uint32)[:, None]
-    keys = (tile.astype(jnp.uint32) << prim_bits) | prim_ids
-    keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
-    (keys,) = jax.lax.sort((keys.reshape(-1),), num_keys=1,
-                           is_stable=False)
+    if packed:
+        keys = (tile.astype(jnp.uint32) << prim_bits) | prim_ids
+        keys = jnp.where(valid, keys, jnp.uint32(0xFFFFFFFF))
+        (keys,) = jax.lax.sort((keys.reshape(-1),), num_keys=1,
+                               is_stable=False)
+        sorted_prims = keys & jnp.uint32((1 << prim_bits) - 1)
+        search_keys = keys
+        tile_probe = (jnp.arange(ntiles + 1, dtype=jnp.uint32)
+                      << prim_bits)
+    else:
+        tkeys = jnp.where(valid, tile.astype(jnp.uint32),
+                          jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        pvals = jnp.broadcast_to(prim_ids, tile.shape).reshape(-1)
+        # flatten order is prim-major, so a STABLE sort on the tile key
+        # alone preserves ascending prim order within each tile
+        tkeys, sorted_prims = jax.lax.sort((tkeys, pvals), num_keys=1,
+                                           is_stable=True)
+        search_keys = tkeys
+        tile_probe = jnp.arange(ntiles + 1, dtype=jnp.uint32)
 
-    # per-tile ranges: search the raw sorted keys at tile boundaries
-    # (tile occupies the high bits, so tile t's segment spans
-    # [search(t<<b), search((t+1)<<b)))
-    tile_ids = jnp.arange(ntiles + 1, dtype=jnp.uint32)
-    bounds = jnp.searchsorted(keys, tile_ids << prim_bits, side="left"
+    # per-tile ranges: search the sorted keys at tile boundaries
+    bounds = jnp.searchsorted(search_keys, tile_probe, side="left"
                               ).astype(jnp.int32)
     starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
@@ -123,14 +137,14 @@ def bin_primitives(bbox_min: jnp.ndarray, bbox_max: jnp.ndarray,
     # contiguous per-tile extraction: vmapped dynamic_slice is ~4x
     # faster than a [T, M] gather on TPU (measured); sentinel padding
     # keeps every slice in-bounds without shifting
-    keys_padded = jnp.concatenate(
-        [keys, jnp.full((max_per_tile,), 0xFFFFFFFF, jnp.uint32)])
+    prims_padded = jnp.concatenate(
+        [sorted_prims, jnp.full((max_per_tile,), 0, jnp.uint32)])
     rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(keys_padded, (s,),
+        lambda s: jax.lax.dynamic_slice(prims_padded, (s,),
                                         (max_per_tile,)))(starts)
     slot = jnp.arange(max_per_tile, dtype=jnp.int32)
     out_valid = slot[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    prim_idx = (rows & jnp.uint32((1 << prim_bits) - 1)).astype(jnp.int32)
+    prim_idx = rows.astype(jnp.int32)
     prim_idx = jnp.where(out_valid, jnp.minimum(prim_idx, n - 1), 0)
 
     tile_overflow = jnp.any(counts > max_per_tile)

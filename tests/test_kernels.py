@@ -291,3 +291,36 @@ class TestKNN:
             np.asarray(knn.segment_mean(data, seg, 2)), [1.5, 3.5])
         np.testing.assert_allclose(
             np.asarray(knn.segment_max(data, seg, 2)), [2, 4])
+
+
+def test_binning_wide_keys_stable_path():
+    """prim_bits + tile_bits > 32 must route to the stable two-array
+    sort and produce the same contract (within-tile ascending prims)."""
+    import jax.numpy as jnp
+    from comfy3d_tpu.ops import binning
+    n = (1 << 21) + 3          # 22 prim bits
+    grid_h = grid_w = 64       # 4096 tiles → 13 tile bits (> 32 total)
+    bbox_min = np.full((n, 2), 1e9, np.float32)
+    bbox_max = np.full((n, 2), 1e9, np.float32)
+    active = np.zeros((n,), bool)
+    # a handful of live prims in known tiles (TILE px each)
+    t = binning.TILE
+    live = [5, 17, 1_500_000, 2_000_001]
+    for i, p in enumerate(live):
+        x = (t + 1) if p == 2_000_001 else 1   # last one in tile 1
+        bbox_min[p] = (x, 1)
+        bbox_max[p] = (x + 2, 3)
+        active[p] = True
+    bins = binning.bin_primitives(
+        jnp.asarray(bbox_min), jnp.asarray(bbox_max),
+        jnp.asarray(active), grid_h, grid_w, max_per_tile=8,
+        max_tiles_per_prim=4)
+    assert not bool(bins.overflow)
+    counts = np.asarray(bins.count)
+    assert counts.sum() == len(live)
+    # tile 0 holds prims 5, 17, 1.5M in ascending order
+    assert counts[0] == 3
+    row0 = np.asarray(bins.prim_idx[0])[:3]
+    np.testing.assert_array_equal(row0, [5, 17, 1_500_000])
+    assert counts[1] == 1
+    assert np.asarray(bins.prim_idx[1])[0] == 2_000_001
