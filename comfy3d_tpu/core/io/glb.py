@@ -62,8 +62,13 @@ def save_glb(path: str, v, f, vt=None, ft=None, vn=None,
         acc = {"bufferView": vidx, "componentType": ctype,
                "count": int(data.shape[0]), "type": atype}
         if minmax:
-            acc["min"] = data.min(axis=0).tolist()
-            acc["max"] = data.max(axis=0).tolist()
+            if data.shape[0]:
+                acc["min"] = data.min(axis=0).tolist()
+                acc["max"] = data.max(axis=0).tolist()
+            else:   # empty mesh: still a valid accessor per spec
+                dim = {"VEC3": 3, "VEC2": 2, "SCALAR": 1}[atype]
+                acc["min"] = [0.0] * dim
+                acc["max"] = [0.0] * dim
         accessors.append(acc)
         return len(accessors) - 1
 

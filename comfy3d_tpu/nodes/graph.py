@@ -132,5 +132,6 @@ def load_node_mappings():
                    nodes_diffusers, nodes_hunyuan3d, nodes_io,
                    nodes_models, nodes_mvadapter, nodes_mvdiffusion,
                    nodes_partcrafter, nodes_preprocess, nodes_render,
-                   nodes_stablegen, nodes_texture, nodes_trellis)
+                   nodes_stablegen, nodes_texture, nodes_trellis,
+                   nodes_vendor)
     return NODE_CLASS_MAPPINGS

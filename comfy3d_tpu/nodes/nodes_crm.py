@@ -49,25 +49,29 @@ class CRM_Images_MVDiffusion_Model:
             "reference_mask": ("MASK",),
             "prompt": ("STRING", {"default": "3D assets",
                                   "multiline": True}),
+            "prompt_neg": ("STRING", {"default": "ugly, blurry",
+                                      "multiline": True}),
             "seed": ("INT", {"default": 1234, "min": 0,
                              "max": 0xffffffffffffffff}),
             "mv_guidance_scale": ("FLOAT", {"default": 5.5, "min": 0.0,
                                             "step": 0.01}),
-            "num_inference_steps": ("INT", {"default": 30, "min": 1}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
         }}
 
-    RETURN_TYPES = ("IMAGE",)
-    RETURN_NAMES = ("multiview_images",)
+    RETURN_TYPES = ("IMAGE", "ORBIT_CAMPOSES")
+    RETURN_NAMES = ("multiview_images", "orbit_camposes")
     FUNCTION = "run_model"
     CATEGORY = "Comfy3D/Algorithm"
 
     def run_model(self, crm_mvdiffusion_sampler, reference_image,
-                  reference_mask, prompt="3D assets", seed=1234,
-                  mv_guidance_scale=5.5, num_inference_steps=30):
+                  reference_mask, prompt="3D assets", prompt_neg="",
+                  seed=1234, mv_guidance_scale=5.5,
+                  num_inference_steps=50):
         out = crm_mvdiffusion_sampler(
             num_inference_steps=int(num_inference_steps),
-            guidance_scale=float(mv_guidance_scale), seed=int(seed))
-        return (np.asarray(out),)
+            guidance_scale=float(mv_guidance_scale),
+            seed=int(seed) % (2 ** 31))
+        return (np.asarray(out), _crm6_camposes())
 
 
 @register
@@ -78,15 +82,19 @@ class CRM_CCMs_MVDiffusion_Model:
     @classmethod
     def INPUT_TYPES(cls):
         return {"required": {
-            "crm_ccm_sampler": ("CRM_MVDIFFUSION_SAMPLER",),
+            "crm_mvdiffusion_sampler": ("CRM_MVDIFFUSION_SAMPLER",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
             "multiview_images": ("IMAGE",),
             "prompt": ("STRING", {"default": "3D assets",
                                   "multiline": True}),
+            "prompt_neg": ("STRING", {"default": "ugly, blurry",
+                                      "multiline": True}),
             "seed": ("INT", {"default": 1234, "min": 0,
                              "max": 0xffffffffffffffff}),
             "mv_guidance_scale": ("FLOAT", {"default": 5.5, "min": 0.0,
                                             "step": 0.01}),
-            "num_inference_steps": ("INT", {"default": 30, "min": 1}),
+            "num_inference_steps": ("INT", {"default": 50, "min": 1}),
         }}
 
     RETURN_TYPES = ("IMAGE",)
@@ -94,12 +102,14 @@ class CRM_CCMs_MVDiffusion_Model:
     FUNCTION = "run_model"
     CATEGORY = "Comfy3D/Algorithm"
 
-    def run_model(self, crm_ccm_sampler, multiview_images,
-                  prompt="3D assets", seed=1234, mv_guidance_scale=5.5,
-                  num_inference_steps=30):
-        out = crm_ccm_sampler(
+    def run_model(self, crm_mvdiffusion_sampler, reference_image=None,
+                  reference_mask=None, multiview_images=None,
+                  prompt="3D assets", prompt_neg="", seed=1234,
+                  mv_guidance_scale=5.5, num_inference_steps=50):
+        out = crm_mvdiffusion_sampler(
             num_inference_steps=int(num_inference_steps),
-            guidance_scale=float(mv_guidance_scale), seed=int(seed) + 1)
+            guidance_scale=float(mv_guidance_scale),
+            seed=int(seed) % (2 ** 31) + 1)
         return (np.asarray(out),)
 
 

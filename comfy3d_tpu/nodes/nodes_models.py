@@ -182,51 +182,55 @@ class Zero123Plus_Diffusion_Model:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {
-            "reference_image": ("IMAGE",),
-            "reference_mask": ("MASK",),
-            "zero123plus_diffusers_path": ("STRING",
-                                           {"default": "zero123plus"}),
-            "seed": ("INT", {"default": 42}),
-            "diffusion_steps": ("INT", {"default": 28, "min": 1}),
-            "guidance_scale": ("FLOAT", {"default": 4.0}),
-        }}
+        return {
+            "required": {
+                "zero123plus_pipe": ("DIFFUSERS_PIPE",),
+                "reference_image": ("IMAGE",),
+                "reference_mask": ("MASK",),
+                "seed": ("INT", {"default": 1234, "min": 0,
+                                 "max": 0xffffffffffffffff}),
+                "guidance_scale": ("FLOAT", {"default": 4.0,
+                                             "min": 0.0,
+                                             "step": 0.01}),
+                "num_inference_steps": ("INT", {"default": 28,
+                                                "min": 1}),
+            },
+        }
 
-    RETURN_TYPES = ("IMAGE",)
-    RETURN_NAMES = ("multiview_images",)
+    RETURN_TYPES = ("IMAGE", "ORBIT_CAMPOSES")
+    RETURN_NAMES = ("multiviews", "orbit_camposes")
     FUNCTION = "run_model"
     CATEGORY = "Comfy3D/Algorithm"
 
     _cached = None
 
-    def run_model(self, reference_image, reference_mask,
-                  zero123plus_diffusers_path="zero123plus", seed=42,
-                  diffusion_steps=28, guidance_scale=4.0):
+    def run_model(self, zero123plus_pipe=None, reference_image=None,
+                  reference_mask=None, seed=1234, guidance_scale=4.0,
+                  num_inference_steps=28, **_):
         from ..core import image as img_utils
+        from ..core.camera import ORBITPOSE_PRESETS
         from ..models.zero123plus import Zero123PlusPipeline
         import jax.numpy as jnp
 
-        ckpt_dir = os.path.join(base.CKPT_ROOT_PATH,
-                                zero123plus_diffusers_path)
-        cls = self.__class__
-        if cls._cached is None:
-            if os.path.isdir(ckpt_dir):
-                from ..models.zero123plus import convert as z_convert
-                cls._cached = z_convert.from_pretrained(ckpt_dir)
-            else:
-                print(f"[Zero123Plus] {ckpt_dir} not found — random "
-                      "weights (grid structure only)")
+        pipe = zero123plus_pipe
+        if pipe is None:
+            cls = self.__class__
+            if cls._cached is None:
+                print("[Zero123Plus] no pipe wired — random weights")
                 cls._cached = Zero123PlusPipeline.init_random()
-        pipe = cls._cached
+            pipe = cls._cached
 
         img = np.asarray(img_utils.composite_background(
             jnp.asarray(reference_image), jnp.asarray(reference_mask),
             (1.0, 1.0, 1.0)))[0]
-        grid = pipe(img, num_inference_steps=diffusion_steps,
-                    guidance_scale=guidance_scale, seed=seed)
-        # 3 rows x 2 cols of 320² views → [6, 320, 320, 3]
+        grid = pipe(img, num_inference_steps=int(num_inference_steps),
+                    guidance_scale=float(guidance_scale),
+                    seed=int(seed) % (2 ** 31))
+        # 3 rows x 2 cols of views → [6, S, S, 3]
         views = img_utils.split_image_grid(np.asarray(grid), 3, 2)
-        return (views,)
+        camposes = [[1.2, e, a, 0.0, 0.0, 0.0]
+                    for e, a in ORBITPOSE_PRESETS["Zero123Plus(6)"]]
+        return (views, camposes)
 
 
 @register

@@ -71,17 +71,27 @@ class Make_Image_Grid:
     def INPUT_TYPES(cls):
         return {"required": {
             "images": ("IMAGE",),
-            "rows": ("INT", {"default": 2, "min": 1}),
-            "columns": ("INT", {"default": 3, "min": 1}),
+            "grid_side_num": ("INT", {"default": 1, "min": 1,
+                                      "max": 8192}),
+            "use_rows": ("BOOLEAN", {"default": True}),
         }}
 
     RETURN_TYPES = ("IMAGE",)
     RETURN_NAMES = ("image_grid",)
-    FUNCTION = "make_grid"
+    FUNCTION = "make_image_grid"
     CATEGORY = "Comfy3D/Preprocessor"
 
-    def make_grid(self, images, rows=2, columns=3):
-        grid = img_utils.make_image_grid(np.asarray(images), rows, columns)
+    def make_image_grid(self, images, grid_side_num=1, use_rows=True):
+        imgs = np.asarray(images)
+        n = imgs.shape[0]
+        side = max(1, int(grid_side_num))
+        other = -(-n // side)
+        rows, cols = (side, other) if use_rows else (other, side)
+        pad = rows * cols - n
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        grid = img_utils.make_image_grid(imgs, rows, cols)
         return (grid[None],)
 
 
@@ -93,8 +103,9 @@ class Split_Image_Grid:
     def INPUT_TYPES(cls):
         return {"required": {
             "image": ("IMAGE",),
-            "rows": ("INT", {"default": 2, "min": 1}),
-            "columns": ("INT", {"default": 3, "min": 1}),
+            "grid_side_num": ("INT", {"default": 1, "min": 1,
+                                      "max": 8192}),
+            "use_rows": ("BOOLEAN", {"default": True}),
         }}
 
     RETURN_TYPES = ("IMAGE",)
@@ -102,9 +113,19 @@ class Split_Image_Grid:
     FUNCTION = "split_grid"
     CATEGORY = "Comfy3D/Preprocessor"
 
-    def split_grid(self, image, rows=2, columns=3):
-        outs = [img_utils.split_image_grid(g, rows, columns)
-                for g in np.asarray(image)]
+    def split_grid(self, image, grid_side_num=1, use_rows=True):
+        imgs = np.asarray(image)
+        side = max(1, int(grid_side_num))
+        outs = []
+        for g in imgs:
+            h, w = g.shape[0], g.shape[1]
+            if use_rows:
+                rows = side
+                cols = max(1, round(w / (h / rows)))
+            else:
+                cols = side
+                rows = max(1, round(h / (w / cols)))
+            outs.append(img_utils.split_image_grid(g, rows, cols))
         return (np.concatenate(outs),)
 
 

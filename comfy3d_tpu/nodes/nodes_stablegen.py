@@ -89,37 +89,49 @@ class StableGen_Trellis_Image_To_3D:
     @classmethod
     def INPUT_TYPES(cls):
         return {"required": {
-            "trellis_pipe": ("TRELLIS_PIPE",),
-            "image": ("IMAGE",),
-            "seed": ("INT", {"default": 1, "min": 0,
+            "trellis_pipe": ("DIFFUSERS_PIPE",),
+            "images": ("IMAGE", {"list": True}),
+            "mode": (["single", "multi"],),
+            "seed": ("INT", {"default": 1234, "min": 0,
                              "max": 0xffffffffffffffff}),
-            "ss_guidance_strength": ("FLOAT", {"default": 3.0,
+            "ss_guidance_strength": ("FLOAT", {"default": 7.5,
                                                "min": 0.0,
-                                               "step": 0.01}),
-            "ss_sampling_steps": ("INT", {"default": 50, "min": 1}),
+                                               "step": 0.1}),
+            "ss_sampling_steps": ("INT", {"default": 12, "min": 1}),
             "slat_guidance_strength": ("FLOAT", {"default": 3.0,
                                                  "min": 0.0,
-                                                 "step": 0.01}),
-            "slat_sampling_steps": ("INT", {"default": 6, "min": 1}),
+                                                 "step": 0.1}),
+            "slat_sampling_steps": ("INT", {"default": 12, "min": 1}),
+            "mesh_simplify": ("FLOAT", {"default": 0.95, "min": 0.9,
+                                        "max": 1.0, "step": 0.01}),
         }}
 
-    RETURN_TYPES = ("MESH", "GS_PLY")
-    RETURN_NAMES = ("mesh", "gs_ply")
+    RETURN_TYPES = ("MESH",)
+    RETURN_NAMES = ("mesh",)
     FUNCTION = "run"
     CATEGORY = "Comfy3D/Algorithm"
 
-    def run(self, trellis_pipe, image, seed=1, ss_guidance_strength=3.0,
-            ss_sampling_steps=50, slat_guidance_strength=3.0,
-            slat_sampling_steps=6):
+    def run(self, trellis_pipe, images, mode="single", seed=1234,
+            ss_guidance_strength=7.5, ss_sampling_steps=12,
+            slat_guidance_strength=3.0, slat_sampling_steps=12,
+            mesh_simplify=0.95):
         import dataclasses
         trellis_pipe.cfg = dataclasses.replace(
             trellis_pipe.cfg, ss_cfg=float(ss_guidance_strength),
             ss_steps=int(ss_sampling_steps),
             slat_cfg=float(slat_guidance_strength),
             slat_steps=int(slat_sampling_steps))
-        img = np.asarray(image, np.float32)
+        img = np.asarray(images, np.float32)
         if img.ndim == 4:
-            img = img[0]
-        out = trellis_pipe.run(img, seed=int(seed),
-                               formats=("gaussian", "mesh"))
-        return (out["mesh"].auto_normal(), out["gaussian"])
+            img = img[0]   # "single" mode uses the first view
+        out = trellis_pipe.run(img, seed=int(seed), formats=("mesh",))
+        mesh = out["mesh"]
+        if mesh_simplify < 1.0 and len(mesh.f) > 4:
+            # TRELLIS convention: simplify = fraction of faces REMOVED
+            from .. import native
+            from ..core.mesh import Mesh
+            target = max(4, int(len(mesh.f) * (1.0 - float(
+                mesh_simplify))))
+            v, f = native.decimate_mesh(mesh.v, mesh.f, target)
+            mesh = Mesh(v=v, f=f)
+        return (mesh.auto_normal(),)

@@ -128,15 +128,22 @@ def _tet_triangles(pos, val, inside):
     return tris, tri_valid
 
 
-@partial(jax.jit, static_argnames=("max_tris", "slab"))
+@partial(jax.jit, static_argnames=("max_tris", "slab", "slab_cap"))
 def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
                        origin=(-1.0, -1.0, -1.0), spacing=None,
-                       max_tris: int = 200_000, slab: int = 8):
+                       max_tris: int = 200_000, slab: int = 8,
+                       slab_cap: int = 131_072):
     """Extract the iso-surface of a dense [R, R, R] field.
 
     `grid` is signed relative to `iso`: surface where grid == iso, inside
     where grid > iso (density convention; negate an SDF before calling).
     Returns (verts [max_tris*3, 3] triangle soup, tri_count, overflow).
+
+    Compaction is a per-slab stable argsort (valid-first) + contiguous
+    dynamic_update_slice in a [9, T] triangle-minor layout — a scatter
+    here serializes on TPU and dominated the whole sweep (~30 s at
+    192³); the sort-compact version is bandwidth-bound. `slab_cap`
+    bounds triangles per z-slab (overflow-flagged).
     """
     r = grid.shape[0]
     if spacing is None:
@@ -182,19 +189,28 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
         valid = valid & zvalid.repeat(6)[:, None]
         return tris.reshape(-1, 3, 3), valid.reshape(-1)
 
-    nv_out = jnp.zeros((max_tris, 3, 3), jnp.float32)
+    cap = min(slab_cap, max_tris)
+    nv_out = jnp.zeros((9, max_tris + cap), jnp.float32)
 
     def body(i, state):
-        out, count = state
+        out, count, ovf = state
         tris, valid = slab_tris(i * slab)
-        k = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        dst = jnp.where(valid, count + k, max_tris)
-        out = out.at[dst].set(tris, mode="drop")
-        return out, count + valid.sum(dtype=jnp.int32)
+        t9 = tris.reshape(-1, 9).T                        # [9, M]
+        order = jnp.argsort(
+            jnp.where(valid, jnp.uint32(0), jnp.uint32(1)),
+            stable=True)
+        block = t9[:, order[:cap]]                        # [9, cap]
+        nval = valid.sum(dtype=jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, block, (0, count))
+        ovf = ovf | (nval > cap)
+        return out, jnp.minimum(count + jnp.minimum(nval, cap),
+                                max_tris), ovf
 
-    out, count = jax.lax.fori_loop(0, nslabs, body, (nv_out, jnp.int32(0)))
-    overflow = count > max_tris
-    return out, jnp.minimum(count, max_tris), overflow
+    out, count, overflow = jax.lax.fori_loop(
+        0, nslabs, body, (nv_out, jnp.int32(0), jnp.bool_(False)))
+    overflow = overflow | (count >= max_tris)
+    soup = out.T[:max_tris].reshape(max_tris, 3, 3)
+    return soup, jnp.minimum(count, max_tris), overflow
 
 
 def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
