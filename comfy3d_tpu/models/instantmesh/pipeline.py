@@ -100,18 +100,12 @@ class InstantMeshPipeline:
         # reference SDF convention: positive inside (lrm_mesh.py:133-134
         # forces the grid center positive / boundary negative), matching
         # marching_tets_diff's inside-positive contract directly.
-        # Chunk the tet sweep: 128³ grids carry 12.3M tets and one-shot
-        # [T,4,3] temporaries blow past v5e HBM (bench OOM at 18.9 GB)
-        tet_chunk = 1 << 21
-        extract = jax.jit(tetra.marching_tets_diff)
-        tri_list = []
-        for i in range(0, tets_arr.shape[0], tet_chunk):
-            tris, valid = extract(v_def, sdf,
-                                  jnp.asarray(tets_arr[i:i + tet_chunk]))
-            tri_list.append(np.asarray(tris)[np.asarray(valid)])
-        tris = np.concatenate(tri_list) if tri_list else \
-            np.zeros((0, 3, 3), np.float32)
-        v, f = tetra.weld(tris.reshape(-1, 3, 3), tris.shape[0])
+        # Device-side chunked sweep (ops.tetra.sweep_tets): one-shot
+        # [T,4,3] temporaries OOM v5e at 128³, and per-chunk host
+        # transfers dominated wall-clock over the device tunnel
+        tris, _ = tetra.sweep_tets(v_def, sdf, tets_arr,
+                                   max_tris=max_tris)
+        v, f = tetra.weld(tris, tris.shape[0])
         from ...core.mesh import Mesh
         mesh = Mesh(v=v, f=f)
         if with_color and mesh.num_vertices:

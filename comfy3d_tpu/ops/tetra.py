@@ -233,14 +233,15 @@ def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
 
 
 def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
-                       max_tris: int = 400_000, max_block: int = 160):
+                       max_tris: int = 400_000, max_block: int = 256):
     """Grid → welded Mesh (host hop at the stage boundary).
 
     Counterpart of reference `marching_cubes_density_to_mesh`
     (`mesh_utils.py:488-519`) minus the pymeshlab clean (see native/).
     Grids larger than `max_block` per axis are swept in overlapping
-    z-partitions (the remote AOT compiler rejects ≥192³ one-shot
-    programs), then welded into one mesh."""
+    y/z-partitions (the remote AOT compiler rejects ≥320³ one-shot
+    programs), then welded into one mesh. Single-shot 256³ runs ~4 s
+    warm on v5e; the partitioned sweep costs ~2x for the overlap."""
     from ..core.mesh import Mesh
     r = grid.shape[0]
     spacing = (bounds[1] - bounds[0]) / (r - 1)
@@ -324,3 +325,45 @@ def grid_tets(res: int):
         for k in range(8)], -1).reshape(-1, 8)
     tets = corner_ids[:, _TETS].reshape(-1, 4).astype(np.int32)
     return verts, tets
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_step(out, count, verts, sdf, tets, cap: int):
+    """One chunk of an explicit-tet sweep, compacted on device.
+
+    Runs `marching_tets_diff` on a tet chunk, moves valid triangles to
+    the front with a stable argsort, and appends them to `out`
+    ([9, T] triangle-minor accumulator) at `count`. Keeps the whole
+    sweep on device — the naive per-chunk host transfer + boolean
+    filter dominated InstantMesh mesh extraction wall-clock (the
+    device→host tunnel moves ~150 MB per dense chunk)."""
+    tris, valid = marching_tets_diff(verts, sdf, tets)
+    t9 = tris.reshape(-1, 9).T
+    order = jnp.argsort(jnp.where(valid, jnp.uint32(0), jnp.uint32(1)),
+                        stable=True)
+    block = t9[:, order[:cap]]
+    nval = jnp.minimum(valid.sum(dtype=jnp.int32), cap)
+    out = jax.lax.dynamic_update_slice(out, block, (0, count))
+    return out, count + nval, valid.sum(dtype=jnp.int32) > cap
+
+
+def sweep_tets(verts, sdf, tets, max_tris: int = 2_000_000,
+               tet_chunk: int = 1 << 21, cap: int = 1 << 19):
+    """Explicit-tet marching sweep → (tri_soup [n,3,3] np, overflow).
+
+    Chunks the tet list (one-shot [T,4,3] temporaries OOM v5e at 128³
+    grids), accumulating compacted triangles on device; ONE host
+    transfer at the end."""
+    verts = jnp.asarray(verts)
+    sdf = jnp.asarray(sdf)
+    out = jnp.zeros((9, max_tris + cap), jnp.float32)
+    count = jnp.int32(0)
+    overflow = False
+    for i in range(0, tets.shape[0], tet_chunk):
+        chunk_arr = jnp.asarray(tets[i:i + tet_chunk])
+        out, count, ovf = _compact_step(out, count, verts, sdf,
+                                        chunk_arr, cap)
+        overflow = overflow or bool(ovf)
+    n = min(int(count), max_tris)
+    soup = np.asarray(out[:, :n]).T.reshape(-1, 3, 3)
+    return soup, overflow or int(count) > max_tris
