@@ -214,3 +214,116 @@ def vae_rules(prefix: str = "") -> Callable:
         return None
 
     return rules
+
+
+# ------------------------------------------------------------------ #
+# diffusers directory loading (config.json + weights per component).
+# Every reference diffusion family ships this layout on HF; these
+# helpers turn `<repo>/unet`, `<repo>/vae`, `<repo>/{text,image,
+# vision}_encoder` into (our_config, flax_params).
+# ------------------------------------------------------------------ #
+def unet_config_from_json(cfg: dict, **overrides):
+    from .unet import UNetConfig
+    ahd = cfg.get("attention_head_dim", 8)
+    if isinstance(ahd, (list, tuple)):
+        # per-block head counts (SD1.x style) — our module takes the
+        # negative-head-count convention for uniform head counts
+        ahd = -ahd[0] if len(set(ahd)) == 1 else 64
+    kw = dict(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels",
+                                         (320, 640, 1280, 1280))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        cross_attention_dim=cfg.get("cross_attention_dim", 1024),
+        attention_head_dim=ahd,
+        norm_groups=cfg.get("norm_num_groups", 32),
+        down_block_types=tuple(cfg.get("down_block_types", (
+            "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D", "DownBlock2D"))),
+        up_block_types=tuple(cfg.get("up_block_types", (
+            "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+            "CrossAttnUpBlock2D"))),
+    )
+    kw.update(overrides)
+    return UNetConfig(**kw)
+
+
+def vae_config_from_json(cfg: dict):
+    from .vae import VAEConfig
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels",
+                                         (128, 256, 512, 512))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215))
+
+
+def _component(path, sub):
+    import os
+    p = os.path.join(path, sub)
+    return p if os.path.isdir(p) else None
+
+
+def load_unet_dir(path: str, **config_overrides):
+    """`<path>` holds config.json + diffusion_pytorch_model weights.
+    Returns (UNetConfig, params, raw_config_dict)."""
+    import os
+    from ..loader import load_dir_state_dict, read_json_config
+    from ..convert import convert_with_rules
+    raw = read_json_config(os.path.join(path, "config.json"))
+    cfg = unet_config_from_json(raw, **config_overrides)
+    sd = load_dir_state_dict(path)
+    params = convert_with_rules(sd, unet_rules(), strict=False)
+    return cfg, params, raw
+
+
+def load_vae_dir(path: str):
+    import os
+    from ..loader import load_dir_state_dict, read_json_config
+    from ..convert import convert_with_rules
+    raw = read_json_config(os.path.join(path, "config.json"))
+    cfg = vae_config_from_json(raw)
+    sd = load_dir_state_dict(path)
+    params = convert_with_rules(sd, vae_rules(), strict=False)
+    return cfg, params, raw
+
+
+def load_clip_vision_dir(path: str):
+    """CLIPVisionModel(+WithProjection) directory → conditioner parts."""
+    import os
+    from ..loader import load_dir_state_dict, read_json_config
+    from ..clip import CLIPVisionConfig, convert_clip
+    raw = read_json_config(os.path.join(path, "config.json"))
+    vc = raw.get("vision_config", raw)
+    cfg = CLIPVisionConfig(
+        hidden=vc.get("hidden_size", 1024),
+        layers=vc.get("num_hidden_layers", 24),
+        heads=vc.get("num_attention_heads", 16),
+        mlp_dim=vc.get("intermediate_size", 4096),
+        image_size=vc.get("image_size", 224),
+        patch=vc.get("patch_size", 14),
+        projection_dim=raw.get("projection_dim", 768))
+    sd = load_dir_state_dict(path)
+    params = convert_clip(sd)
+    return cfg, params, raw
+
+
+def load_clip_text_dir(path: str):
+    import os
+    from ..loader import load_dir_state_dict, read_json_config
+    from ..clip import CLIPTextConfig, convert_clip
+    raw = read_json_config(os.path.join(path, "config.json"))
+    cfg = CLIPTextConfig(
+        vocab_size=raw.get("vocab_size", 49408),
+        hidden=raw.get("hidden_size", 768),
+        layers=raw.get("num_hidden_layers", 12),
+        heads=raw.get("num_attention_heads", 12),
+        mlp_dim=raw.get("intermediate_size", 3072),
+        max_positions=raw.get("max_position_embeddings", 77),
+        eos_token_id=raw.get("eos_token_id", 49407))
+    sd = load_dir_state_dict(path)
+    params = convert_clip(sd)
+    return cfg, params, raw

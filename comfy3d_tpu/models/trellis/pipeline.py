@@ -40,6 +40,9 @@ class TrellisConfig:
     ss_decoder: SSDecoderConfig = SSDecoderConfig()
     slat_flow: SLatFlowConfig = SLatFlowConfig()
     slat_dec: SLatDecoderConfig = SLatDecoderConfig()
+    # mesh decoder may be configured differently from the GS decoder
+    # (separate ckpt jsons); None → share slat_dec
+    slat_dec_mesh: Optional[SLatDecoderConfig] = None
     image_size: int = 518
     capacity: int = 25000            # max active voxels at 64³
     ss_steps: int = 12
@@ -88,13 +91,21 @@ class TrellisImageTo3DPipeline:
         self.ss_decoder = SparseStructureDecoder(cfg.ss_decoder)
         self.slat_flow = SLatFlowModel(cfg.slat_flow)
         self.gs_decoder = SLatGaussianDecoder(cfg.slat_dec)
-        self.mesh_decoder = SLatMeshDecoder(cfg.slat_dec)
+        self.mesh_decoder = SLatMeshDecoder(cfg.slat_dec_mesh
+                                            or cfg.slat_dec)
         self.params = params
 
     # -------------------------------------------------------------- #
     @classmethod
     def init_random(cls, key=None, cfg: Optional[TrellisConfig] = None
                     ) -> "TrellisImageTo3DPipeline":
+        from ..loader import on_cpu
+        with on_cpu():
+            return cls._init_random(key, cfg)
+
+    @classmethod
+    def _init_random(cls, key=None, cfg: Optional[TrellisConfig] = None
+                     ) -> "TrellisImageTo3DPipeline":
         cfg = cfg or TrellisConfig()
         key = key if key is not None else jax.random.PRNGKey(0)
         ks = jax.random.split(key, 6)
@@ -106,6 +117,10 @@ class TrellisImageTo3DPipeline:
             jnp.zeros((cap, 4), jnp.int32), jnp.zeros((cap,), bool))
         dummy_lat = sp.SparseVoxels(
             jnp.zeros((cap, cfg.slat_dec.latent_channels)),
+            jnp.zeros((cap, 4), jnp.int32), jnp.zeros((cap,), bool))
+        mesh_cfg = cfg.slat_dec_mesh or cfg.slat_dec
+        dummy_lat_mesh = sp.SparseVoxels(
+            jnp.zeros((cap, mesh_cfg.latent_channels)),
             jnp.zeros((cap, 4), jnp.int32), jnp.zeros((cap,), bool))
         ctx = jnp.zeros((1, 7, cfg.ss_flow.cond_channels))
         params = {
@@ -122,8 +137,8 @@ class TrellisImageTo3DPipeline:
                 ks[3], dummy_vox, jnp.zeros((1,)), ctx)["params"],
             "gs_decoder": SLatGaussianDecoder(cfg.slat_dec).init(
                 ks[4], dummy_lat)["params"],
-            "mesh_decoder": SLatMeshDecoder(cfg.slat_dec).init(
-                ks[5], dummy_lat)["params"],
+            "mesh_decoder": SLatMeshDecoder(mesh_cfg).init(
+                ks[5], dummy_lat_mesh)["params"],
         }
         return cls(params, cfg)
 
@@ -202,11 +217,20 @@ class TrellisImageTo3DPipeline:
         mask = np.asarray(out["mask"])
         live = np.repeat(mask, g)
         xyz = np.asarray(out["xyz"]).reshape(n * g, 3) - 0.5  # aabb shift
-        # reference Gaussian activations (gaussian_model.py:51-72):
-        # scale = exp(_scaling + log(bias)); opacity = σ(_opacity +
-        # logit(bias)); rotation = normalize(_rotation + [1,0,0,0])
-        scale_raw = (np.asarray(out["scaling"]).reshape(n * g, 3)
-                     + np.log(c.slat_dec.scaling_bias))
+        # reference Gaussian activations (gaussian_model.py:45-76):
+        # scale = sqrt(act(_scaling + act⁻¹(bias))² + min_kernel²) with
+        # act ∈ {exp, softplus}; opacity = σ(_opacity + logit(bias));
+        # rotation = normalize(_rotation + [1,0,0,0]). Our GaussianSplat
+        # stores log-scale, so fold the activation here.
+        sraw = np.asarray(out["scaling"]).reshape(n * g, 3)
+        b = c.slat_dec.scaling_bias
+        if c.slat_dec.scaling_activation == "softplus":
+            inv_b = b + np.log(-np.expm1(-b))
+            scales = np.logaddexp(0.0, sraw + inv_b)     # softplus
+        else:
+            scales = np.exp(sraw + np.log(b))
+        scales = np.sqrt(scales ** 2 + c.slat_dec.min_kernel_size ** 2)
+        scale_raw = np.log(np.maximum(scales, 1e-12))
         rot = np.asarray(out["rotation"]).reshape(n * g, 4)
         rot = rot + np.array([1.0, 0, 0, 0])
         op_bias = np.log(c.slat_dec.opacity_bias

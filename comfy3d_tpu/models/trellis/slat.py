@@ -273,13 +273,17 @@ class SLatDecoderConfig:
     attn_mode: str = "swin"
     window_size: int = 8
     qk_rms_norm: bool = False
-    # gaussian head
+    # gaussian head (representation_config in the ckpt json)
     num_gaussians: int = 32
     voxel_size: float = 1.5
     scaling_bias: float = 0.01
     opacity_bias: float = 0.1
     lr_xyz: float = 1.0
     lr_feat: float = 1.0
+    lr_rot: float = 1.0
+    perturb_offset: bool = True
+    scaling_activation: str = "softplus"
+    min_kernel_size: float = 0.0     # 3d_filter_kernel_size
 
 
 class SLatDecoderBase(nn.Module):
@@ -306,8 +310,29 @@ class SLatDecoderBase(nn.Module):
         return h
 
 
+def _radical_inverse(base: int, n: int) -> float:
+    val, inv = 0.0, 1.0 / base
+    inv_n = inv
+    while n > 0:
+        val += (n % base) * inv_n
+        n //= base
+        inv_n *= inv
+    return val
+
+
+def hammersley_perturbation(g: int, voxel_size: float) -> np.ndarray:
+    """decoder_gs.py:58-63: atanh-warped 3D hammersley offsets, one per
+    gaussian slot."""
+    pts = np.array([[i / g, _radical_inverse(2, i),
+                     _radical_inverse(3, i)] for i in range(g)],
+                   np.float32)
+    return np.arctanh(np.clip((pts * 2.0 - 1.0) / voxel_size,
+                              -1.0 + 1e-6, 1.0 - 1e-6))
+
+
 class SLatGaussianDecoder(SLatDecoderBase):
-    """decoder_gs.py:11-122 → per-voxel gaussian bundles."""
+    """decoder_gs.py:11-122 → per-voxel gaussian bundles (lr-scaled
+    groups + perturbed-offset tanh placement per to_representation)."""
     cfg: SLatDecoderConfig = SLatDecoderConfig()
 
     @nn.compact
@@ -322,14 +347,17 @@ class SLatGaussianDecoder(SLatDecoderBase):
         n = st.capacity
         sizes = [3 * g, 3 * g, 3 * g, 4 * g, g]
         ofs = np.cumsum([0] + sizes)
-        xyz_off = hf[:, ofs[0]:ofs[1]].reshape(n, g, 3)
-        feat_dc = hf[:, ofs[1]:ofs[2]].reshape(n, g, 3)
-        scaling = hf[:, ofs[2]:ofs[3]].reshape(n, g, 3)
-        rotation = hf[:, ofs[3]:ofs[4]].reshape(n, g, 4)
-        opacity = hf[:, ofs[4]:ofs[5]].reshape(n, g)
+        xyz_off = hf[:, ofs[0]:ofs[1]].reshape(n, g, 3) * c.lr_xyz
+        if c.perturb_offset:
+            xyz_off = xyz_off + jnp.asarray(
+                hammersley_perturbation(g, c.voxel_size))[None]
+        feat_dc = hf[:, ofs[1]:ofs[2]].reshape(n, g, 3) * c.lr_feat
+        scaling = hf[:, ofs[2]:ofs[3]].reshape(n, g, 3) * c.lr_feat
+        rotation = hf[:, ofs[3]:ofs[4]].reshape(n, g, 4) * c.lr_rot
+        opacity = hf[:, ofs[4]:ofs[5]].reshape(n, g) * c.lr_feat
         center = (st.coords[:, 1:].astype(jnp.float32) + 0.5) \
             / c.resolution
-        xyz = center[:, None, :] + jnp.tanh(xyz_off * c.lr_xyz) \
+        xyz = center[:, None, :] + jnp.tanh(xyz_off) \
             / c.resolution * 0.5 * c.voxel_size
         return {"xyz": xyz, "features_dc": feat_dc, "scaling": scaling,
                 "rotation": rotation, "opacity": opacity,
@@ -370,11 +398,20 @@ class SparseSubdivideBlock3d(nn.Module):
             out_res
 
 
+def _fit_groups(c: int, num_groups: int) -> int:
+    """Largest divisor of c that is ≤ num_groups (reference uses 32 and
+    channel counts that are multiples of 32; tiny test configs aren't)."""
+    g = min(num_groups, c)
+    while c % g:
+        g -= 1
+    return g
+
+
 def masked_group_norm(feats, mask, num_groups, scale, bias, eps=1e-5):
     """GroupNorm over (group channels × active voxels) — the reference
     SparseGroupNorm treats the voxel axis as spatial (sparse/norm.py)."""
     n, c = feats.shape
-    g = num_groups
+    g = _fit_groups(c, num_groups)
     f = feats.reshape(n, g, c // g)
     m = mask[:, None, None].astype(feats.dtype)
     cnt = jnp.maximum(mask.sum() * (c // g), 1.0)
@@ -388,7 +425,7 @@ class SLatMeshDecoder(SLatDecoderBase):
     """decoder_mesh.py:72-167: torso → 2× subdivide blocks → FlexiCubes
     feature head at 4× resolution."""
     cfg: SLatDecoderConfig = SLatDecoderConfig()
-    upsample_channels: Tuple[int, ...] = (128, 64)
+    upsample_channels: Optional[Tuple[int, ...]] = None
     out_channels: int = 101     # SparseFeatures2Mesh feature layout
 
     @nn.compact
@@ -396,7 +433,10 @@ class SLatMeshDecoder(SLatDecoderBase):
         c = self.cfg
         h = self.torso(st)
         res = c.resolution
-        for i, ch in enumerate(self.upsample_channels):
+        # reference decoder_mesh.py:107-118: mc → mc//4 → mc//8
+        ups = self.upsample_channels or (c.model_channels // 4,
+                                         c.model_channels // 8)
+        for i, ch in enumerate(ups):
             h, res = SparseSubdivideBlock3d(
                 ch, name=f"upsample_{i}")(h, res)
         hf = nn.Dense(self.out_channels, name="out_layer")(h.feats)

@@ -26,11 +26,24 @@ class Load_Trellis_Structured_3D_Latents_Models:
     CATEGORY = "Comfy3D/Import|Export"
 
     def load_pipe(self, repo_id="jetx/TRELLIS-image-large"):
+        import os
+
+        from . import base
         from ..models.trellis import TrellisImageTo3DPipeline
-        # zero-egress: no HF download path yet — random weights keep the
-        # graph executable; checkpoint loading lands with convert.py
-        print("[Load_Trellis] initializing random weights "
-              f"(checkpoints for {repo_id} not available locally)")
+        from ..models.trellis import convert as trellis_convert
+
+        # local-first: <ckpts>/TRELLIS/pipeline.json or
+        # <ckpts>/<repo tail>/pipeline.json (reference base.py:21-45
+        # resolves a pipeline.json the same way before HF fallback)
+        for cand in (os.path.join(base.CKPT_ROOT_PATH, "TRELLIS"),
+                     os.path.join(base.CKPT_ROOT_PATH,
+                                  repo_id.split("/")[-1])):
+            if os.path.exists(os.path.join(cand, "pipeline.json")):
+                print(f"[Load_Trellis] loading checkpoints from {cand}")
+                return (trellis_convert.from_pretrained(cand),)
+        print("[Load_Trellis] no local checkpoint tree for "
+              f"{repo_id} under {base.CKPT_ROOT_PATH} — random weights "
+              "(place pipeline.json + ckpts/ there to load real ones)")
         return (TrellisImageTo3DPipeline.init_random(),)
 
 

@@ -192,3 +192,180 @@ def install():
 def load(modpath: str):
     install()
     return importlib.import_module(modpath)
+
+
+_sparse_installed = False
+
+
+def install_trellis_sparse():
+    """Functional CPU stubs for spconv + xformers so the reference
+    TRELLIS sparse modules (SLat flow / decoders) run as numeric
+    oracles. SubMConv3d follows spconv 2.x semantics: weight layout
+    KRSC [out, k0, k1, k2, in] over the (x, y, z) index order, computed
+    here by densify → torch conv3d → gather (submanifold conv equals
+    the dense conv at active sites because inactive cells hold zeros).
+    """
+    global _sparse_installed
+    if _sparse_installed:
+        return
+    import os
+    os.environ.setdefault("ATTN_BACKEND", "xformers")
+    os.environ.setdefault("SPARSE_BACKEND", "spconv")
+    os.environ.setdefault("SPCONV_ALGO", "auto")
+    install()
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    comfy = _stub("comfy")
+    cu = _stub("comfy.utils")
+
+    class ProgressBar:
+        def __init__(self, *a):
+            pass
+
+        def update_absolute(self, *a):
+            pass
+
+    cu.ProgressBar = ProgressBar
+    comfy.utils = cu
+    ed = _stub("easydict")
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    if not hasattr(ed, "EasyDict"):
+        ed.EasyDict = EasyDict
+
+    spconv = _stub("spconv")
+    sppt = _stub("spconv.pytorch")
+    spconv.pytorch = sppt
+
+    class ConvAlgo:
+        Native = "native"
+        MaskImplicitGemm = "implicit_gemm"
+
+    class SparseConvTensor:
+        def __init__(self, features, indices, spatial_shape, batch_size,
+                     grid=None, voxel_num=None, indice_dict=None):
+            self.features = features          # [N, C]
+            self.indices = indices            # [N, 4] int (b, x, y, z)
+            self.spatial_shape = list(spatial_shape)
+            self.batch_size = batch_size
+            self.grid = grid
+            self.voxel_num = voxel_num
+            self.indice_dict = indice_dict or {}
+            self.benchmark = False
+            self.benchmark_record = {}
+            self.thrust_allocator = None
+            self._timer = None
+            self.force_algo = None
+            self.int8_scale = None
+
+        @property
+        def _features(self):
+            return self.features
+
+        @_features.setter
+        def _features(self, v):
+            self.features = v
+
+        def replace_feature(self, feats):
+            return SparseConvTensor(feats, self.indices,
+                                    self.spatial_shape, self.batch_size)
+
+        def dense(self):
+            b = self.batch_size
+            sx, sy, sz = self.spatial_shape
+            c = self.features.shape[1]
+            out = torch.zeros(b, sx, sy, sz, c,
+                              dtype=self.features.dtype)
+            idx = self.indices.long()
+            out[idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]] = \
+                self.features
+            return out.permute(0, 4, 1, 2, 3)
+
+    class SubMConv3d(tnn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size,
+                     dilation=1, bias=True, indice_key=None, algo=None,
+                     stride=1, padding=None):
+            super().__init__()
+            k = kernel_size if isinstance(kernel_size, int) \
+                else kernel_size[0]
+            self.kernel_size = k
+            self.in_channels = in_channels
+            self.out_channels = out_channels
+            w = torch.empty(out_channels, k, k, k, in_channels)
+            tnn.init.kaiming_uniform_(w.view(out_channels, -1), a=5 ** .5)
+            self.weight = tnn.Parameter(
+                w.view(out_channels, k, k, k, in_channels))
+            self.bias = tnn.Parameter(torch.zeros(out_channels)) \
+                if bias else None
+
+        def forward(self, x):
+            dense = x.dense()                     # [B, C, X, Y, Z]
+            w = self.weight.permute(0, 4, 1, 2, 3)  # [O, I, k, k, k]
+            out = F.conv3d(dense, w, self.bias,
+                           padding=self.kernel_size // 2)
+            idx = x.indices.long()
+            feats = out.permute(0, 2, 3, 4, 1)[
+                idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]]
+            return SparseConvTensor(feats, x.indices, x.spatial_shape,
+                                    x.batch_size)
+
+    sppt.ConvAlgo = ConvAlgo
+    sppt.SparseConvTensor = SparseConvTensor
+    sppt.SubMConv3d = SubMConv3d
+    sppt.SparseConv3d = SubMConv3d          # stride-1 cases only
+    sppt.SparseInverseConv3d = SubMConv3d
+
+    xf = _stub("xformers")
+    xo = _stub("xformers.ops")
+    xf.ops = xo
+
+    class BlockDiagonalMask:
+        def __init__(self, q_seqlen, kv_seqlen):
+            self.q_seqlen = list(q_seqlen)
+            self.kv_seqlen = list(kv_seqlen)
+
+        @classmethod
+        def from_seqlens(cls, q_seqlen, kv_seqlen=None):
+            return cls(q_seqlen, kv_seqlen if kv_seqlen is not None
+                       else q_seqlen)
+
+        def materialize(self):
+            nq, nk = sum(self.q_seqlen), sum(self.kv_seqlen)
+            m = torch.full((nq, nk), float("-inf"))
+            qo = ko = 0
+            for ql, kl in zip(self.q_seqlen, self.kv_seqlen):
+                m[qo:qo + ql, ko:ko + kl] = 0.0
+                qo += ql
+                ko += kl
+            return m
+
+    fmha = types.SimpleNamespace(BlockDiagonalMask=BlockDiagonalMask)
+
+    def memory_efficient_attention(q, k, v, attn_bias=None):
+        # xformers layout [B, N, H, C] → sdpa layout [B, H, N, C]
+        qt, kt, vt = (t.permute(0, 2, 1, 3) for t in (q, k, v))
+        mask = None
+        if isinstance(attn_bias, BlockDiagonalMask):
+            mask = attn_bias.materialize()[None, None]
+        out = F.scaled_dot_product_attention(qt, kt, vt, attn_mask=mask)
+        return out.permute(0, 2, 1, 3)
+
+    xo.memory_efficient_attention = memory_efficient_attention
+    xo.fmha = fmha
+
+    # reference code sprinkles hardcoded .cuda() calls
+    # (e.g. gaussian_model.py:65-69); make them no-ops on CPU torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    _sparse_installed = True
