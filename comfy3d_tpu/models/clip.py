@@ -11,6 +11,7 @@ masking for text, class-token + projection for vision.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -52,6 +53,7 @@ class CLIPVisionConfig:
     patch: int = 14
     projection_dim: int = 768
     eps: float = 1e-5
+    act: str = "quick_gelu"      # openai CLIP; open_clip laion2b: "gelu"
 
 
 class CLIPBlock(nn.Module):
@@ -60,6 +62,7 @@ class CLIPBlock(nn.Module):
     mlp_dim: int
     eps: float = 1e-5
     causal: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +83,8 @@ class CLIPBlock(nn.Module):
             attn.reshape(b, t, self.hidden))
         h = nn.LayerNorm(epsilon=self.eps, name="layer_norm2")(x)
         h = nn.Dense(self.mlp_dim, name="fc1")(h)
-        h = quick_gelu(h)
+        h = (quick_gelu(h) if self.act == "quick_gelu"
+             else nn.gelu(h, approximate=False))
         return x + nn.Dense(self.hidden, name="fc2")(h)
 
 
@@ -132,7 +136,7 @@ class CLIPVisionEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=c.eps, name="pre_layrnorm")(x)
         for i in range(c.layers):
             x = CLIPBlock(c.hidden, c.heads, c.mlp_dim, c.eps,
-                          name=f"layers_{i}")(x)
+                          act=c.act, name=f"layers_{i}")(x)
         pooled = nn.LayerNorm(epsilon=c.eps,
                               name="post_layernorm")(x[:, 0])
         if not project:
@@ -212,6 +216,76 @@ def clip_rules(prefix: str = "") -> Callable:
 def convert_clip(state_dict, prefix: str = "") -> dict:
     return C.convert_with_rules(state_dict, clip_rules(prefix),
                                 strict=False)
+
+
+def open_clip_visual_rules(prefix: str = "visual.") -> Callable:
+    """open_clip `VisionTransformer` state dict (as embedded in the SF3D
+    checkpoint's `image_estimator.model.*`) → CLIPVisionEncoder paths.
+    qkv is packed in `attn.in_proj_weight`; `proj` is [width, embed] and
+    multiplies pooled features from the left (no transpose)."""
+
+    def rules(key: str, val: np.ndarray):
+        if not key.startswith(prefix):
+            return None
+        key = key[len(prefix):]
+        simple = {
+            "conv1.weight": ("patch_embedding/kernel", C.t_conv),
+            "class_embedding": ("class_embedding", None),
+            "positional_embedding": ("position_embedding", None),
+            "ln_pre.weight": ("pre_layrnorm/scale", None),
+            "ln_pre.bias": ("pre_layrnorm/bias", None),
+            "ln_post.weight": ("post_layernorm/scale", None),
+            "ln_post.bias": ("post_layernorm/bias", None),
+            "proj": ("visual_projection/kernel", None),
+        }
+        if key in simple:
+            path, fn = simple[key]
+            return path, (fn(val) if fn else val)
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.*)", key)
+        if not m:
+            return None
+        idx, sub = m.groups()
+        base = f"layers_{idx}/"
+        table = {
+            "ln_1.weight": ("layer_norm1/scale", None),
+            "ln_1.bias": ("layer_norm1/bias", None),
+            "ln_2.weight": ("layer_norm2/scale", None),
+            "ln_2.bias": ("layer_norm2/bias", None),
+            "attn.out_proj.weight": ("out_proj/kernel", C.t_linear),
+            "attn.out_proj.bias": ("out_proj/bias", None),
+            "mlp.c_fc.weight": ("fc1/kernel", C.t_linear),
+            "mlp.c_fc.bias": ("fc1/bias", None),
+            "mlp.c_proj.weight": ("fc2/kernel", C.t_linear),
+            "mlp.c_proj.bias": ("fc2/bias", None),
+        }
+        if sub in table:
+            path, fn = table[sub]
+            return base + path, (fn(val) if fn else val)
+        return None
+
+    return rules
+
+
+def convert_open_clip_visual(state_dict,
+                             prefix: str = "visual.") -> dict:
+    """Handles the packed in_proj qkv on top of the per-key rules."""
+    tree = C.convert_with_rules(state_dict, open_clip_visual_rules(prefix),
+                                strict=False)
+    for key, val in state_dict.items():
+        if not key.startswith(prefix):
+            continue
+        sub = key[len(prefix):]
+        m = re.match(r"transformer\.resblocks\.(\d+)\.attn\."
+                     r"in_proj_(weight|bias)$", sub)
+        if not m:
+            continue
+        idx, kind = m.groups()
+        q, k, v = np.split(C.to_numpy(val), 3, axis=0)
+        for name, part in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
+            leaf = "kernel" if kind == "weight" else "bias"
+            part = C.t_linear(part) if kind == "weight" else part
+            C.set_path(tree, f"layers_{idx}/{name}/{leaf}", part)
+    return tree
 
 
 def make_vision_conditioner(params, cfg: CLIPVisionConfig

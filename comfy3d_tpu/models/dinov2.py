@@ -34,6 +34,8 @@ class Dinov2Config:
     layer_norm_eps: float = 1e-6
     num_registers: int = 0           # dinov2-with-registers variants
     return_prenorm: bool = False     # TRELLIS reads x_prenorm
+    modulation_dim: int = 0          # >0: SF3D-style adaLN modulation
+                                     # (sf3d/models/tokenizers/image.py:35-51)
 
     @property
     def swiglu_hidden(self) -> int:
@@ -41,13 +43,24 @@ class Dinov2Config:
         return (int(h * 2 / 3) + 7) // 8 * 8
 
 
+def _modulate(x, cond, dense):
+    """SF3D `Modulation` (sf3d/models/transformers/attention.py:5-31),
+    single_layer=True: emb = Dense(silu(cond)); x·(1+scale)+shift."""
+    emb = dense(nn.silu(cond))
+    scale, shift = jnp.split(emb, 2, axis=-1)
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
 class Dinov2Layer(nn.Module):
     cfg: Dinov2Config
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mod_cond=None):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x)
+        if c.modulation_dim:
+            h = _modulate(h, mod_cond,
+                          nn.Dense(2 * c.hidden, name="norm1_mod"))
         hd = c.hidden // c.heads
         b, t, _ = x.shape
         q = nn.Dense(c.hidden, name="query")(h)
@@ -61,6 +74,9 @@ class Dinov2Layer(nn.Module):
         x = x + attn * ls1
 
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x)
+        if c.modulation_dim:
+            h = _modulate(h, mod_cond,
+                          nn.Dense(2 * c.hidden, name="norm2_mod"))
         if c.use_swiglu:
             w = nn.Dense(2 * c.swiglu_hidden, name="weights_in")(h)
             x1, x2 = jnp.split(w, 2, axis=-1)
@@ -77,8 +93,10 @@ class Dinov2(nn.Module):
     cfg: Dinov2Config = Dinov2Config()
 
     @nn.compact
-    def __call__(self, images):
-        """images [B, H, W, 3] already normalized → tokens [B, 1+N, C]."""
+    def __call__(self, images, mod_cond=None):
+        """images [B, H, W, 3] already normalized → tokens [B, 1+N, C].
+        `mod_cond` [B, modulation_dim] drives per-layer adaLN when
+        cfg.modulation_dim > 0 (SF3D image tokenizer)."""
         c = self.cfg
         b, h, w, _ = images.shape
         gh, gw = h // c.patch, w // c.patch
@@ -109,7 +127,7 @@ class Dinov2(nn.Module):
                     reg, (b, c.num_registers, c.hidden)), x[:, 1:]],
                 axis=1)
         for i in range(c.layers):
-            x = Dinov2Layer(c, name=f"layer_{i}")(x)
+            x = Dinov2Layer(c, name=f"layer_{i}")(x, mod_cond)
         if c.return_prenorm:
             return x
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln_final")(x)
@@ -172,6 +190,14 @@ def dinov2_rules(prefix: str = "") -> Callable:
             "mlp.weights_in.bias": ("weights_in/bias", None),
             "mlp.weights_out.weight": ("weights_out/kernel", C.t_linear),
             "mlp.weights_out.bias": ("weights_out/bias", None),
+            # SF3D per-layer adaLN modulation (registered on the layer;
+            # the duplicate `modulations.*` aliases are skipped)
+            "norm1_modulation.linear2.weight": ("norm1_mod/kernel",
+                                                C.t_linear),
+            "norm1_modulation.linear2.bias": ("norm1_mod/bias", None),
+            "norm2_modulation.linear2.weight": ("norm2_mod/kernel",
+                                                C.t_linear),
+            "norm2_modulation.linear2.bias": ("norm2_mod/bias", None),
         }
         if sub in m:
             path, fn = m[sub]

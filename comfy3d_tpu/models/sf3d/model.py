@@ -217,6 +217,66 @@ _HEADS: Tuple[Tuple[str, int, int, str, float], ...] = (
 )
 
 
+class ClipHeadEstimator(nn.Module):
+    """`image_estimator/clip_based_estimator.py:26-165` heads only (the
+    open_clip visual tower runs separately): per head a shared stack of
+    `n_hidden` Linear+ReLU, then two branches (Linear+ReLU, Linear→1)
+    producing Beta(α, β) params; eval mode = distribution mode."""
+    hidden_features: int = 512
+    head_names: Tuple[str, ...] = ("roughness", "metallic")
+    n_hidden: int = 3
+    output_bias: float = 1.0
+
+    @nn.compact
+    def __call__(self, image_features):
+        out = {}
+        for name in self.head_names:
+            h = image_features
+            for i in range(self.n_hidden):
+                h = nn.relu(nn.Dense(self.hidden_features,
+                                     name=f"{name}_shared_{2 * i}")(h))
+            branches = []
+            for b in (1, 2):
+                y = nn.relu(nn.Dense(self.hidden_features,
+                                     name=f"{name}_b{b}_0")(h))
+                branches.append(
+                    nn.Dense(1, name=f"{name}_b{b}_2")(y)[..., 0])
+            alpha = jax.nn.softplus(branches[0] + self.output_bias)
+            beta = jax.nn.softplus(branches[1] + self.output_bias)
+            # Beta mode for α,β > 1 (torch.distributions.Beta.mode)
+            mode = (alpha - 1.0) / jnp.maximum(alpha + beta - 2.0, 1e-6)
+            out[name] = jnp.clip(mode, 0.0, 1.0)
+        return out
+
+
+class GlobalEstimator(nn.Module):
+    """`global_estimator/multi_head_estimator.py:23-120`: stride-2
+    valid convs over stacked triplanes → max pool → sg_amplitudes head
+    (softplus, bias 1) for spherical-gaussian illumination."""
+    hidden_features: int = 512
+    n_layers: int = 2
+    out_channels: int = 24
+    n_hidden: int = 3
+
+    @nn.compact
+    def __call__(self, triplanes):
+        """triplanes [B, 3, H, W, C] → sg_amplitudes [B, 24, 1]."""
+        b, np_, h, w, c = triplanes.shape
+        # torch stacks plane channels: [B, 3*C, H, W]
+        x = triplanes.transpose(0, 2, 3, 1, 4).reshape(b, h, w, np_ * c)
+        for i in range(self.n_layers):
+            x = nn.relu(nn.Conv(self.hidden_features, (3, 3),
+                                strides=(2, 2), padding="VALID",
+                                name=f"layers_{2 * i}")(x))
+        x = x.max(axis=(1, 2))
+        for i in range(self.n_hidden):
+            x = nn.relu(nn.Dense(self.hidden_features,
+                                 name=f"sg_amplitudes_{2 * i}")(x))
+        y = nn.Dense(self.out_channels,
+                     name=f"sg_amplitudes_{2 * self.n_hidden}")(x)
+        return jax.nn.softplus(y + 1.0)[..., None]
+
+
 class MaterialMLP(nn.Module):
     """network.py:123-195 with the StableFast3D_config.yaml head table."""
     in_channels: int = 120

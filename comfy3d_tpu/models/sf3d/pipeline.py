@@ -35,15 +35,17 @@ class SF3DConfig:
     plane_size: int = 96
     token_channels: int = 1024
     triplane_channels: int = 40
+    modulation_dim: int = 768        # camera adaLN cond (config.yaml)
     backbone: BackboneConfig = BackboneConfig()
-    cond: Dinov2Config = Dinov2Config(hidden=1024, layers=24, heads=16)
+    cond: Dinov2Config = Dinov2Config(hidden=1024, layers=24, heads=16,
+                                      modulation_dim=768)
     camera_cond_dim: int = 25        # c2w (16) + normalized intrinsics (9)
 
     @classmethod
     def tiny(cls) -> "SF3DConfig":
         return cls(
             cond_image_size=28, isosurface_resolution=24, plane_size=8,
-            token_channels=32, triplane_channels=8,
+            token_channels=32, triplane_channels=8, modulation_dim=16,
             backbone=BackboneConfig(heads=2, head_dim=16,
                                     raw_triplane_channels=32,
                                     triplane_channels=32,
@@ -52,7 +54,31 @@ class SF3DConfig:
                                     num_basic_blocks=1,
                                     norm_num_groups=8),
             cond=Dinov2Config(hidden=32, layers=1, heads=2, patch=14,
-                              pretrain_image_size=28))
+                              pretrain_image_size=28,
+                              modulation_dim=16))
+
+
+def _grid_sample_ac(plane, uv):
+    """torch grid_sample(align_corners=True, bilinear, zero pad).
+    plane [H, W, C]; uv [..., 2], uv[...,0]=x indexes W."""
+    h, w = plane.shape[0], plane.shape[1]
+    x = (uv[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (uv[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    fx, fy = x - x0, y - y0
+
+    def fetch(xi, yi):
+        xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0)
+               & (yi <= h - 1)).astype(plane.dtype)
+        return plane[yi_c, xi_c] * inb[..., None]
+
+    fx, fy = fx[..., None], fy[..., None]
+    return ((1 - fx) * (1 - fy) * fetch(x0, y0)
+            + fx * (1 - fy) * fetch(x0 + 1, y0)
+            + (1 - fx) * fy * fetch(x0, y0 + 1)
+            + fx * fy * fetch(x0 + 1, y0 + 1))
 
 
 class SF3DModel(nn.Module):
@@ -61,7 +87,7 @@ class SF3DModel(nn.Module):
     def setup(self):
         c = self.cfg
         self.image_tokenizer = Dinov2(c.cond, name="image_tokenizer")
-        self.camera_embedder = nn.Dense(c.cond.hidden,
+        self.camera_embedder = nn.Dense(c.modulation_dim,
                                         name="camera_embedder")
         self.triplane_tokens = self.param(
             "triplane_tokens", nn.initializers.normal(1.0),
@@ -80,12 +106,11 @@ class SF3DModel(nn.Module):
         c = self.cfg
         b = image.shape[0]
         img = (image - IMAGENET_MEAN) / IMAGENET_STD
-        # camera modulation rides as an extra token (the reference
-        # modulates DINOv2 layers adaLN-style; the additive-token
-        # variant keeps the public Dinov2 checkpoint layout intact)
-        tokens = self.image_tokenizer(img)
-        cam = self.camera_embedder(camera)[:, None, :]
-        tokens = jnp.concatenate([cam, tokens], axis=1)
+        # camera conditioning modulates every DINOv2 layer adaLN-style,
+        # exactly like the reference (`system.py:get_scene_codes` →
+        # `image_tokenizer(..., modulation_cond=camera_embeds)`)
+        cam = self.camera_embedder(camera)
+        tokens = self.image_tokenizer(img, cam)
 
         planes = jnp.broadcast_to(
             self.triplane_tokens[None],
@@ -97,12 +122,14 @@ class SF3DModel(nn.Module):
         return self.post_processor(planes)
 
     def query(self, triplanes, positions, include=None):
-        """triplanes [3, H, W, C]; positions [N, 3] → head dict."""
+        """triplanes [3, H, W, C]; positions [N, 3] → head dict.
+        `system.py:query_triplane`: align_corners=True bilinear over
+        (x,y)/(x,z)/(y,z) index pairs."""
         c = self.cfg
         p = positions / c.radius
-        f_xy = grid_sample_2d(triplanes[0], p[:, (0, 1)])
-        f_xz = grid_sample_2d(triplanes[1], p[:, (0, 2)])
-        f_yz = grid_sample_2d(triplanes[2], p[:, (1, 2)])
+        f_xy = _grid_sample_ac(triplanes[0], p[:, (0, 1)])
+        f_xz = _grid_sample_ac(triplanes[1], p[:, (0, 2)])
+        f_yz = _grid_sample_ac(triplanes[2], p[:, (1, 2)])
         feat = jnp.concatenate([f_xy, f_xz, f_yz], -1)
         return self.decoder(feat, include=include)
 
@@ -118,6 +145,45 @@ class SF3DPipeline:
         self.params = params
         self._forward = jax.jit(lambda p, i, cam: self.model.apply(
             {"params": p}, i, cam))
+        # optional PBR estimators (populated by convert.from_pretrained)
+        self.image_estimator_params = None
+        self.clip_params = None
+        self.global_estimator_params = None
+
+    @classmethod
+    def from_pretrained(cls, path, cfg=None):
+        from . import convert as _c
+        return _c.from_pretrained(path, cfg)
+
+    def set_estimators(self, image_est, clip, global_est):
+        self.image_estimator_params = image_est
+        self.clip_params = clip
+        self.global_estimator_params = global_est
+
+    def estimate_materials(self, image):
+        """image [S, S, 3] in [0,1] → {"roughness", "metallic"} scalars
+        via open_clip features + Beta heads (`system.py:run_image` →
+        `image_estimator(batch["rgb_cond"])`). Returns reference
+        defaults (0.5/0.0) when the estimator isn't loaded."""
+        if self.image_estimator_params is None or self.clip_params is None:
+            return {"roughness": 0.5, "metallic": 0.0}
+        from ..clip import CLIPVisionConfig, CLIPVisionEncoder
+        from .model import ClipHeadEstimator
+        mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+        img = jnp.asarray(image, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        img = jax.image.resize(img, (img.shape[0], 224, 224, 3),
+                               "bilinear")
+        img = (img - mean) / std
+        vit = CLIPVisionEncoder(CLIPVisionConfig(
+            hidden=768, layers=12, heads=12, mlp_dim=3072, patch=32,
+            projection_dim=512, act="gelu"))
+        _, feats = vit.apply({"params": self.clip_params}, img)
+        out = ClipHeadEstimator().apply(
+            {"params": self.image_estimator_params}, feats)
+        return {k: float(np.asarray(v)[0]) for k, v in out.items()}
 
     @classmethod
     def init_random(cls, key=None, cfg: Optional[SF3DConfig] = None
@@ -197,4 +263,11 @@ class SF3DPipeline:
 
     def run_image(self, image, **kw):
         planes = self.forward_planes(image)
-        return self.generate_mesh(planes[0], **kw)
+        mesh = self.generate_mesh(planes[0], **kw)
+        if mesh.albedo is not None:
+            mats = self.estimate_materials(image)
+            mr = np.zeros_like(mesh.albedo)
+            mr[..., 1] = mats["roughness"]      # G = roughness (glTF)
+            mr[..., 2] = mats["metallic"]       # B = metallic
+            mesh.metallic_roughness = mr
+        return mesh

@@ -353,9 +353,12 @@ class Load_SF3D_Model:
                     os.path.join(base.CKPT_ROOT_PATH,
                                  self.checkpoints_dir)), model_name)
         if os.path.exists(ckpt):
-            print(f"[Load_SF3D_Model] converter for {ckpt} pending — "
-                  "initializing random weights")
-        pipe = SF3DPipeline.init_random()
+            pipe = SF3DPipeline.from_pretrained(ckpt)
+        else:
+            print(f"[Load_SF3D_Model] checkpoint {ckpt} not found — "
+                  "initializing random weights (set COMFY3D_CHECKPOINTS "
+                  "to the stabilityai/stable-fast-3d model.safetensors)")
+            pipe = SF3DPipeline.init_random()
         return (pipe,)
 
 

@@ -184,6 +184,9 @@ def install():
         import tqdm as _tqdm
         sys.modules["tqdm.auto"].tqdm = _tqdm.tqdm
 
+    # modules that only `import PIL` rely on PIL.Image being pre-loaded
+    import PIL.Image  # noqa: F401
+
     if REF_MODULES not in sys.path:
         sys.path.insert(0, REF_MODULES)
     _installed = True

@@ -1,0 +1,373 @@
+"""SF3D weight-conversion parity vs the reference torch modules.
+
+Instantiates the vendored StableFast3D torch code
+(`Gen_3D_Modules/StableFast3D/sf3d/models/`) at a tiny config with
+random init, converts the state dict through
+`comfy3d_tpu.models.sf3d.convert`, and asserts our flax modules
+reproduce the torch outputs: modulated DINOv2 tokenizer, two-stream
+backbone, pixel-shuffle post-processor, triplane query + MaterialMLP,
+and the Beta-head image estimator.
+"""
+
+import numpy as np
+import pytest
+
+import refutil
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from comfy3d_tpu.models.sf3d.convert import convert_sf3d  # noqa: E402
+from comfy3d_tpu.models.sf3d.pipeline import (SF3DConfig,  # noqa: E402
+                                              SF3DModel)
+
+ATOL = 2e-4
+
+
+def _load_backbone_mod():
+    refutil.install()
+    return refutil.load("StableFast3D.sf3d.models.transformers.backbone")
+
+
+def _load_network_mod():
+    refutil.install()
+    return refutil.load("StableFast3D.sf3d.models.network")
+
+
+def _load_dinov2_mod():
+    refutil.install()
+    return refutil.load("StableFast3D.sf3d.models.tokenizers.dinov2")
+
+
+def _tiny_cfg():
+    return SF3DConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def torch_system():
+    """Compose the reference SF3D submodules exactly as
+    `system.py:configure/get_scene_codes` does, at the tiny config."""
+    bb = _load_backbone_mod()
+    net = _load_network_mod()
+    dv = _load_dinov2_mod()
+    attn_mod = refutil.load("StableFast3D.sf3d.models.transformers.attention")
+    from transformers.models.dinov2.configuration_dinov2 import Dinov2Config
+
+    torch.manual_seed(0)
+    cfg = _tiny_cfg()
+    c = cfg.cond
+
+    dino_cfg = Dinov2Config(
+        hidden_size=c.hidden, num_hidden_layers=c.layers,
+        num_attention_heads=c.heads, mlp_ratio=c.mlp_ratio,
+        patch_size=c.patch, image_size=c.pretrain_image_size,
+        layer_norm_eps=c.layer_norm_eps, use_swiglu_ffn=False)
+    dino = dv.Dinov2Model(dino_cfg).eval()
+    for layer in dino.encoder.layer:
+        n1 = attn_mod.Modulation(c.hidden, cfg.modulation_dim,
+                                 zero_init=False, single_layer=True)
+        n2 = attn_mod.Modulation(c.hidden, cfg.modulation_dim,
+                                 zero_init=False, single_layer=True)
+        # non-zero init so the modulation path is exercised
+        for m in (n1, n2):
+            torch.nn.init.normal_(m.linear2.weight, std=0.2)
+            torch.nn.init.normal_(m.linear2.bias, std=0.2)
+        layer.register_ada_norm_modulation(n1, n2)
+
+    cam = torch.nn.Linear(cfg.camera_cond_dim, cfg.modulation_dim)
+
+    b = cfg.backbone
+    backbone = bb.TwoStreamInterleaveTransformer(dict(
+        num_attention_heads=b.heads, attention_head_dim=b.head_dim,
+        raw_triplane_channels=b.raw_triplane_channels,
+        triplane_channels=b.triplane_channels,
+        raw_image_channels=b.raw_image_channels,
+        num_latents=b.num_latents, num_blocks=b.num_blocks,
+        num_basic_blocks=b.num_basic_blocks,
+        norm_num_groups=b.norm_num_groups,
+        attention_bias=b.attention_bias, norm_x_input=False,
+        cross_attention_dim=b.raw_image_channels)).eval()
+
+    embeddings = torch.nn.Parameter(
+        torch.randn(3, cfg.token_channels, cfg.plane_size,
+                    cfg.plane_size) / np.sqrt(cfg.token_channels))
+
+    post = net.PixelShuffleUpsampleNetwork(dict(
+        in_channels=cfg.token_channels,
+        out_channels=cfg.triplane_channels,
+        scale_factor=4, conv_layers=4)).eval()
+
+    heads = [
+        net.HeadSpec(name="density", out_channels=1, n_hidden_layers=2,
+                     output_activation="trunc_exp", out_bias=-1.0),
+        net.HeadSpec(name="features", out_channels=3, n_hidden_layers=3,
+                     output_activation="sigmoid"),
+        net.HeadSpec(name="perturb_normal", out_channels=3,
+                     n_hidden_layers=3,
+                     output_activation="normalize_channel_last"),
+        net.HeadSpec(name="vertex_offset", out_channels=3,
+                     n_hidden_layers=2),
+    ]
+    decoder = net.MaterialMLP(dict(
+        in_channels=3 * cfg.triplane_channels, n_neurons=64,
+        activation="silu", heads=heads)).eval()
+
+    sd = {}
+    sd.update({f"image_tokenizer.model.{k}": v
+               for k, v in dino.state_dict().items()})
+    sd.update({f"camera_embedder.linear.{k}": v
+               for k, v in cam.state_dict().items()})
+    sd.update({f"backbone.{k}": v for k, v in backbone.state_dict().items()})
+    sd["tokenizer.embeddings"] = embeddings.detach()
+    sd.update({f"post_processor.{k}": v
+               for k, v in post.state_dict().items()})
+    sd.update({f"decoder.{k}": v for k, v in decoder.state_dict().items()})
+    return dict(cfg=cfg, dino=dino, cam=cam, backbone=backbone,
+                embeddings=embeddings, post=post, decoder=decoder, sd=sd)
+
+
+def _scene_codes_torch(ts, img_t, cam_t):
+    """Mirror of `system.py:get_scene_codes` on the tiny modules."""
+    cfg = ts["cfg"]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    x = (img_t - mean) / std
+    cam_emb = ts["cam"](cam_t)
+    out = ts["dino"](x, modulation_cond=cam_emb)
+    image_tokens = out.last_hidden_state                     # [B, Nt, C]
+    trip = ts["embeddings"].reshape(
+        1, 3, cfg.token_channels, -1)
+    trip = trip.permute(0, 2, 1, 3).reshape(
+        1, cfg.token_channels, -1)                           # B Ct (3HpWp)
+    trip = trip.expand(img_t.shape[0], -1, -1)
+    tokens = ts["backbone"](trip, encoder_hidden_states=image_tokens)
+    direct = tokens.reshape(img_t.shape[0], cfg.token_channels, 3,
+                            cfg.plane_size, cfg.plane_size)
+    direct = direct.permute(0, 2, 1, 3, 4)                   # B 3 Ct Hp Wp
+    return ts["post"](direct), direct
+
+
+class TestSF3DParity:
+    def test_scene_codes(self, torch_system):
+        ts = torch_system
+        cfg = ts["cfg"]
+        rng = np.random.default_rng(1)
+        img = rng.random((1, cfg.cond_image_size, cfg.cond_image_size,
+                          3), np.float32)
+        cam = rng.standard_normal((1, cfg.camera_cond_dim)).astype(
+            np.float32)
+
+        with torch.no_grad():
+            codes_t, _ = _scene_codes_torch(
+                ts, torch.from_numpy(img).permute(0, 3, 1, 2),
+                torch.from_numpy(cam))
+
+        params = convert_sf3d(
+            {k: v.numpy() for k, v in ts["sd"].items()})["model"]
+        model = SF3DModel(cfg)
+        codes_j = model.apply({"params": params}, jnp.asarray(img),
+                              jnp.asarray(cam))
+        # ours: [B, 3, H, W, C]; torch: [B, 3, C, H, W]
+        codes_t = codes_t.numpy().transpose(0, 1, 3, 4, 2)
+        np.testing.assert_allclose(np.asarray(codes_j), codes_t,
+                                   atol=ATOL, rtol=1e-3)
+
+    def test_query_heads(self, torch_system):
+        ts = torch_system
+        cfg = ts["cfg"]
+        rng = np.random.default_rng(2)
+        planes = rng.standard_normal(
+            (3, 4 * cfg.plane_size, 4 * cfg.plane_size,
+             cfg.triplane_channels)).astype(np.float32)
+        pts = (rng.random((64, 3), np.float32) * 2 - 1) * cfg.radius
+
+        # torch: system.py:query_triplane + decoder
+        tp = torch.from_numpy(planes).permute(0, 3, 1, 2)[None]
+        pos = torch.from_numpy(pts / cfg.radius)[None]
+        idx = torch.stack((pos[..., [0, 1]], pos[..., [0, 2]],
+                           pos[..., [1, 2]]), dim=-3)
+        import torch.nn.functional as F
+        out = F.grid_sample(tp.flatten(0, 1),
+                            idx.flatten(0, 1).unsqueeze(1),
+                            align_corners=True, mode="bilinear")
+        # "(B Np) Cp () N -> B N (Np Cp)"
+        feat = out.squeeze(2).permute(2, 0, 1).reshape(1, 64, -1)
+        with torch.no_grad():
+            dec_t = ts["decoder"](feat)
+
+        params = convert_sf3d(
+            {k: v.numpy() for k, v in ts["sd"].items()})["model"]
+        model = SF3DModel(cfg)
+        dec_j = model.apply({"params": params}, jnp.asarray(planes),
+                            jnp.asarray(pts), method=SF3DModel.query)
+        for name in ("density", "features", "perturb_normal",
+                     "vertex_offset"):
+            np.testing.assert_allclose(
+                np.asarray(dec_j[name]), dec_t[name].numpy()[0],
+                atol=ATOL, rtol=1e-3,
+                err_msg=f"head {name}")
+
+    def test_image_estimator_heads(self):
+        """Beta-distribution heads vs the reference layout
+        (`clip_based_estimator.py:55-135`)."""
+        refutil.install()
+        torch.manual_seed(3)
+        hidden = 32
+        heads = {}
+        for name in ("roughness", "metallic"):
+            shared = []
+            for _ in range(3):
+                shared += [torch.nn.Linear(hidden, hidden),
+                           torch.nn.ReLU()]
+            blocks = [torch.nn.Sequential(*shared)]
+            blocks += [torch.nn.Sequential(
+                torch.nn.Linear(hidden, hidden), torch.nn.ReLU(),
+                torch.nn.Linear(hidden, 1)) for _ in range(2)]
+            heads[name] = torch.nn.ModuleList(blocks)
+        est = torch.nn.ModuleDict(heads)
+
+        feats = torch.randn(2, hidden)
+        with torch.no_grad():
+            out_t = {}
+            for name in ("roughness", "metallic"):
+                shared_head, d1_h, d2_h = est[name]
+                sf = shared_head(feats)
+                d1 = d1_h(sf).squeeze(-1)
+                d2 = d2_h(sf).squeeze(-1)
+                dist = torch.distributions.Beta(
+                    torch.nn.functional.softplus(d1 + 1.0),
+                    torch.nn.functional.softplus(d2 + 1.0))
+                out_t[name] = dist.mode
+
+        sd = {f"image_estimator.heads.{k}": v
+              for k, v in est.state_dict().items()}
+        trees = convert_sf3d({k: v.numpy() for k, v in sd.items()})
+        from comfy3d_tpu.models.sf3d.model import ClipHeadEstimator
+        out_j = ClipHeadEstimator(hidden_features=hidden).apply(
+            {"params": trees["image_estimator"]}, jnp.asarray(feats.numpy()))
+        for name in ("roughness", "metallic"):
+            np.testing.assert_allclose(np.asarray(out_j[name]),
+                                       out_t[name].numpy(),
+                                       atol=ATOL, rtol=1e-3)
+
+    def test_open_clip_visual_conversion(self):
+        """Packed-qkv open_clip tower layout → CLIPVisionEncoder.
+        Oracle built with torch.nn.MultiheadAttention (the same module
+        open_clip uses, so the in_proj packing is authentic)."""
+        torch.manual_seed(4)
+        width, layers, heads, patch, img_size, embed = 32, 2, 2, 8, 32, 16
+
+        class Block(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = torch.nn.LayerNorm(width)
+                self.attn = torch.nn.MultiheadAttention(width, heads,
+                                                        batch_first=True)
+                self.ln_2 = torch.nn.LayerNorm(width)
+                self.mlp = torch.nn.Sequential()
+                self.mlp.add_module("c_fc", torch.nn.Linear(width,
+                                                            width * 4))
+                self.mlp.add_module("gelu", torch.nn.GELU())
+                self.mlp.add_module("c_proj", torch.nn.Linear(width * 4,
+                                                              width))
+
+            def forward(self, x):
+                h = self.ln_1(x)
+                x = x + self.attn(h, h, h, need_weights=False)[0]
+                return x + self.mlp(self.ln_2(x))
+
+        class Tower(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = torch.nn.Conv2d(3, width, patch, patch,
+                                             bias=False)
+                scale = width ** -0.5
+                self.class_embedding = torch.nn.Parameter(
+                    scale * torch.randn(width))
+                self.positional_embedding = torch.nn.Parameter(
+                    scale * torch.randn((img_size // patch) ** 2 + 1,
+                                        width))
+                self.ln_pre = torch.nn.LayerNorm(width)
+                self.transformer = torch.nn.Module()
+                self.transformer.resblocks = torch.nn.ModuleList(
+                    [Block() for _ in range(layers)])
+                self.ln_post = torch.nn.LayerNorm(width)
+                self.proj = torch.nn.Parameter(
+                    scale * torch.randn(width, embed))
+
+            def forward(self, x):
+                x = self.conv1(x).flatten(2).transpose(1, 2)
+                cls = self.class_embedding[None, None].expand(
+                    x.shape[0], 1, -1)
+                x = torch.cat([cls, x], dim=1) + self.positional_embedding
+                x = self.ln_pre(x)
+                for blk in self.transformer.resblocks:
+                    x = blk(x)
+                return self.ln_post(x[:, 0]) @ self.proj
+
+        tower = Tower().eval()
+        img = torch.rand(2, 3, img_size, img_size)
+        with torch.no_grad():
+            feats_t = tower(img)
+
+        sd = {f"image_estimator.model.visual.{k}": v.numpy()
+              for k, v in tower.state_dict().items()}
+        from comfy3d_tpu.models.clip import (CLIPVisionConfig,
+                                             CLIPVisionEncoder,
+                                             convert_open_clip_visual)
+        params = convert_open_clip_visual(
+            sd, prefix="image_estimator.model.visual.")
+        enc = CLIPVisionEncoder(CLIPVisionConfig(
+            hidden=width, layers=layers, heads=heads, mlp_dim=width * 4,
+            image_size=img_size, patch=patch, projection_dim=embed,
+            act="gelu"))
+        _, feats_j = enc.apply(
+            {"params": params},
+            jnp.asarray(img.permute(0, 2, 3, 1).numpy()))
+        np.testing.assert_allclose(np.asarray(feats_j), feats_t.numpy(),
+                                   atol=ATOL, rtol=1e-3)
+
+    def test_global_estimator(self):
+        refutil.install()
+        net = refutil.load(
+            "StableFast3D.sf3d.models.global_estimator.multi_head_estimator")
+        torch.manual_seed(5)
+        est = net.MultiHeadEstimator(dict(
+            triplane_features=8, hidden_features=16,
+            heads=[net.HeadSpec(name="sg_amplitudes", out_channels=24,
+                                n_hidden_layers=3,
+                                output_activation="softplus",
+                                output_bias=1.0,
+                                shape=[-1, 24, 1])])).eval()
+        trip = torch.randn(1, 3, 8, 16, 16)
+        with torch.no_grad():
+            out_t = est(trip)["sg_amplitudes"]
+        sd = {f"global_estimator.{k}": v.numpy()
+              for k, v in est.state_dict().items()}
+        from comfy3d_tpu.models.sf3d.model import GlobalEstimator
+        params = convert_sf3d(sd)["global_estimator"]
+        out_j = GlobalEstimator(hidden_features=16).apply(
+            {"params": params},
+            jnp.asarray(trip.permute(0, 1, 3, 4, 2).numpy()))
+        np.testing.assert_allclose(np.asarray(out_j),
+                                   out_t.numpy().reshape(1, 24, 1),
+                                   atol=ATOL, rtol=1e-3)
+
+
+class TestSF3DFromPretrained:
+    def test_load_and_structure(self, torch_system, tmp_path):
+        """Write the torch state dict as a checkpoint file; load via
+        SF3DPipeline.from_pretrained; tree must validate + forward."""
+        ts = torch_system
+        sd = {k: v for k, v in ts["sd"].items()}
+        p = tmp_path / "model.ckpt"
+        torch.save(sd, p)
+        from comfy3d_tpu.models.sf3d import SF3DPipeline
+        pipe = SF3DPipeline.from_pretrained(str(p), cfg=ts["cfg"])
+        planes = pipe.forward_planes(
+            np.random.default_rng(0).random(
+                (ts["cfg"].cond_image_size, ts["cfg"].cond_image_size, 3),
+                np.float32))
+        assert planes.shape[0] == 1
