@@ -114,12 +114,13 @@ class CharacterGen2DPipeline:
         if negative is not None:
             self.negative_embeds = np.asarray(negative, np.float32)
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _denoise(self, params, noise, img_lat, num_steps: int,
-                 guidance_scale, cams, cond, uncond):
+                 guidance_scale, scheduler_name, cams, cond, uncond):
         cfg = self.cfg
         v = cfg.num_views
-        sched = schedulers.DDIM(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         cam_emb = self.cam_embed.apply({"params": params["camera"]},
                                        cams)
         cam2 = jnp.concatenate([cam_emb, cam_emb], axis=0)
@@ -129,25 +130,22 @@ class CharacterGen2DPipeline:
         # ref latent tiled to the view axis for the joint MV attention
         img2 = jnp.repeat(jnp.concatenate(
             [jnp.zeros_like(img_lat), img_lat], axis=0), v, axis=0)
-        latents = noise
-
-        def body(i, latents):
-            t = sched.timesteps[i]
+        def denoise_fn(x_in, i, t):
             tvec = jnp.full((2 * v,), t, jnp.float32)
             # ref-unet role: record the reference latent's self-attn
             # states, read them in the denoise pass
             _, ref = self.unet.apply(
                 {"params": params["unet"]}, img2, tvec, states,
                 ref_mode="write", class_emb=jnp.zeros_like(cam2))
-            x2 = jnp.concatenate([latents, latents], axis=0)
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             eps, _ = self.unet.apply(
                 {"params": params["unet"]}, x2, tvec, states,
                 ref_mode="read", ref_hidden=ref, class_emb=cam2)
             e_u, e_c = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, latents)
+            return e_u + guidance_scale * (e_c - e_u)
 
-        return jax.lax.fori_loop(0, num_steps, body, latents)
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      noise * sched.init_sigma)
 
     def inference(self, image, width: Optional[int] = None,
                   height: Optional[int] = None, prompt: str = "",
@@ -173,7 +171,9 @@ class CharacterGen2DPipeline:
             (v, img_lat.shape[1], img_lat.shape[2], 4))
         out = self._denoise(self.params, noise, img_lat,
                             int(num_inference_steps),
-                            jnp.float32(guidance_scale), cams,
+                            jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "DDIMScheduler", cams,
                             jnp.asarray(self.prompt_embeds),
                             jnp.asarray(self.negative_embeds))
         imgs = self.vae.apply({"params": self.params["vae"]},

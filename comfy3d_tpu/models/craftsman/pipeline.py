@@ -166,23 +166,23 @@ class CraftsmanPipeline:
                                        images)
         return emb[None]                      # [1, V, D]
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _sample(self, params, cond, noise, num_steps: int,
-                guidance_scale):
+                guidance_scale, scheduler_name: str = "DDIMScheduler"):
         c = self.cfg
-        sched = schedulers.DDIM(c.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, c.scheduler,
+                                          num_steps)
         cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-        def step(x, i):
-            x2 = jnp.concatenate([x, x], axis=0)
-            t = jnp.broadcast_to(sched.timesteps[i], (2,))
-            eps = self.denoiser.apply({"params": params}, x2, t, cond2)
+        def denoise_fn(x_in, i, t):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
+            tvec = jnp.broadcast_to(t, (2,))
+            eps = self.denoiser.apply({"params": params}, x2, tvec, cond2)
             ec, eu = jnp.split(eps, 2, axis=0)
-            eps = eu + guidance_scale * (ec - eu)
-            return sched.step(eps, i, x), None
+            return eu + guidance_scale * (ec - eu)
 
-        x, _ = jax.lax.scan(step, noise, jnp.arange(num_steps))
-        return x
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      noise * sched.init_sigma)
 
     def __call__(self, images, seed: int = 0,
                  num_steps: Optional[int] = None,
@@ -198,7 +198,9 @@ class CraftsmanPipeline:
               else c.guidance_scale)
         latents = self._sample(self.params["denoiser"], cond, noise,
                                num_steps or c.num_steps,
-                               jnp.float32(gs))
+                               jnp.float32(gs),
+                               getattr(self, "scheduler_name", None)
+                               or "DDIMScheduler")
         decoded = self.vae.apply({"params": self.params["vae"]}, latents)
 
         def q(params, dec, pts):

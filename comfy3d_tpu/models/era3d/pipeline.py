@@ -77,28 +77,28 @@ class Era3DPipeline:
     def set_prompt_embeds(self, embeds):
         self.prompt_embeds = np.asarray(embeds, np.float32)
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _denoise(self, params, latents, image_latents, num_steps: int,
-                 guidance_scale, prompt_embeds):
+                 guidance_scale, scheduler_name: str, prompt_embeds):
         cfg = self.cfg
         nf = latents.shape[0]
-        sched = schedulers.DDIM(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         img_lat2 = jnp.concatenate(
             [jnp.zeros_like(image_latents), image_latents], axis=0)
         cond2 = jnp.concatenate([jnp.zeros_like(prompt_embeds),
                                  prompt_embeds], axis=0)
 
-        def step(lat, i):
-            x2 = jnp.concatenate([lat, lat], axis=0)
+        def denoise_fn(x_in, i, t):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             x2 = jnp.concatenate([x2, img_lat2], axis=-1)
-            tvec = jnp.broadcast_to(sched.timesteps[i], (2 * nf,))
+            tvec = jnp.broadcast_to(t, (2 * nf,))
             eps, _ = self.unet.apply({"params": params}, x2, tvec, cond2)
             e_uncond, e_cond = jnp.split(eps, 2, axis=0)
-            eps = e_uncond + guidance_scale * (e_cond - e_uncond)
-            return sched.step(eps, i, lat), None
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
 
-        lat, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
-        return lat
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      latents * sched.init_sigma)
 
     def __call__(self, image, num_inference_steps: int = 40,
                  guidance_scale: float = 3.0, seed: int = 0):
@@ -123,6 +123,8 @@ class Era3DPipeline:
         out = self._denoise(self.params["unet"], noise, img_lat,
                             int(num_inference_steps),
                             jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "DDIMScheduler",
                             jnp.asarray(self.prompt_embeds))
         imgs = self.vae.apply({"params": self.params["vae"]},
                               out / cfg.vae_scaling,

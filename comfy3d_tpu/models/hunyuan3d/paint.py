@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.schedulers import EulerAncestral, SchedulerConfig
+from ..diffusion.schedulers import make_scheduler, SchedulerConfig
 from ..diffusion.unet import UNet2DCondition, UNetConfig
 from ..diffusion.vae import AutoencoderKL, VAEConfig
 
@@ -153,12 +153,14 @@ class Hunyuan3DPaintPipeline:
                              method=AutoencoderKL.encode)
         return lat * self.cfg.vae_scaling
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5, 7))
     def _denoise(self, params, geom_lat, img_lat, cam_labels,
-                 num_steps: int, guidance_scale, noise):
+                 num_steps: int, guidance_scale,
+                 scheduler_name: str = "EulerAncestralDiscreteScheduler",
+                 noise=None):
         cfg = self.cfg
         nv = geom_lat.shape[0]
-        sched = EulerAncestral(cfg.scheduler, num_steps)
+        sched = make_scheduler(scheduler_name, cfg.scheduler, num_steps)
         cls_emb = self.cls_embed.apply({"params": params["cls"]},
                                        cam_labels)
         geom2 = jnp.concatenate([geom_lat, geom_lat], axis=0)
@@ -171,7 +173,7 @@ class Hunyuan3DPaintPipeline:
         latents = noise * sched.init_sigma
 
         def body(i, carry):
-            latents, key = carry
+            latents, aux, key = carry
             key, k_cond, k_step = jax.random.split(key, 3)
             t = sched.timesteps[i]
             tvec = jnp.full((2 * nv,), t, jnp.float32)
@@ -194,10 +196,13 @@ class Hunyuan3DPaintPipeline:
                 ref_mode="read", ref_hidden=ref, class_emb=cls2)
             e_u, e_c = jnp.split(eps, 2, axis=0)
             eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, latents, key=k_step), key
+            latents, aux = sched.step_aux(eps, i, latents, aux,
+                                          key=k_step)
+            return latents, aux, key
 
-        latents, _ = jax.lax.fori_loop(
-            0, num_steps, body, (latents, jax.random.PRNGKey(0)))
+        latents, _, _ = jax.lax.fori_loop(
+            0, sched.loop_steps, body,
+            (latents, sched.init_aux(latents), jax.random.PRNGKey(0)))
         return latents
 
     def paint_views(self, mesh, image, num_steps: int = 15,
@@ -224,6 +229,8 @@ class Hunyuan3DPaintPipeline:
             (geom_lat.shape[0],) + geom_lat.shape[1:3] + (4,))
         out = self._denoise(self.params, geom_lat, img_lat, labels,
                             int(num_steps), jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "EulerAncestralDiscreteScheduler",
                             noise)
         views = self.vae.apply({"params": self.params["vae"]},
                                out / cfg.vae_scaling,

@@ -130,12 +130,13 @@ class _MVAdapterBase:
 class MVAdapterIG2MVPipeline(_MVAdapterBase):
     """Reference image + mesh geometry → 6 views."""
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5, 8))
     def _denoise(self, params, noise, ctrl, img_lat, num_steps: int,
-                 guidance_scale, ref_scale, cond, uncond):
+                 guidance_scale, ref_scale, scheduler_name, cond, uncond):
         cfg = self.cfg
         v = cfg.num_views
-        sched = schedulers.DDIM(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         states = jnp.concatenate(
             [jnp.tile(uncond[None], (v, 1, 1)),
              jnp.tile(cond[None], (v, 1, 1))], axis=0)
@@ -143,28 +144,24 @@ class MVAdapterIG2MVPipeline(_MVAdapterBase):
         img2 = jnp.repeat(jnp.concatenate(
             [jnp.zeros_like(img_lat), img_lat * ref_scale], axis=0),
             v, axis=0)
-        latents = noise
-
-        def body(i, latents):
-            t = sched.timesteps[i]
+        def denoise_fn(x_in, i, t):
             tvec = jnp.full((2 * v,), t, jnp.float32)
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             down, mid = self.controlnet.apply(
-                {"params": params["controlnet"]},
-                jnp.concatenate([latents, latents], axis=0), tvec,
+                {"params": params["controlnet"]}, x2, tvec,
                 states, ctrl2)
             _, ref = self.unet.apply(
                 {"params": params["unet"]}, img2, tvec, states,
                 ref_mode="write")
-            x2 = jnp.concatenate([latents, latents], axis=0)
             eps, _ = self.unet.apply(
                 {"params": params["unet"]}, x2, tvec, states,
                 ref_mode="read", ref_hidden=ref,
                 down_residuals=down, mid_residual=mid)
             e_u, e_c = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, latents)
+            return e_u + guidance_scale * (e_c - e_u)
 
-        return jax.lax.fori_loop(0, num_steps, body, latents)
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      noise * sched.init_sigma)
 
     def __call__(self, mesh, image, num_inference_steps: int = 50,
                  guidance_scale: float = 3.0,
@@ -191,6 +188,8 @@ class MVAdapterIG2MVPipeline(_MVAdapterBase):
                             int(num_inference_steps),
                             jnp.float32(guidance_scale),
                             jnp.float32(reference_conditioning_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "DDIMScheduler",
                             jnp.asarray(self.prompt_embeds),
                             jnp.asarray(self.negative_embeds))
         return self._decode(out), pos_maps, normal_maps
@@ -199,34 +198,32 @@ class MVAdapterIG2MVPipeline(_MVAdapterBase):
 class MVAdapterTG2MVPipeline(_MVAdapterBase):
     """Text + mesh geometry → 6 views."""
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _denoise(self, params, noise, ctrl, num_steps: int,
-                 guidance_scale, cond, uncond):
+                 guidance_scale, scheduler_name, cond, uncond):
         cfg = self.cfg
         v = cfg.num_views
-        sched = schedulers.DDIM(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         states = jnp.concatenate(
             [jnp.tile(uncond[None], (v, 1, 1)),
              jnp.tile(cond[None], (v, 1, 1))], axis=0)
         ctrl2 = jnp.concatenate([ctrl, ctrl], axis=0)
-        latents = noise
 
-        def body(i, latents):
-            t = sched.timesteps[i]
+        def denoise_fn(x_in, i, t):
             tvec = jnp.full((2 * v,), t, jnp.float32)
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             down, mid = self.controlnet.apply(
-                {"params": params["controlnet"]},
-                jnp.concatenate([latents, latents], axis=0), tvec,
+                {"params": params["controlnet"]}, x2, tvec,
                 states, ctrl2)
-            x2 = jnp.concatenate([latents, latents], axis=0)
             eps, _ = self.unet.apply(
                 {"params": params["unet"]}, x2, tvec, states,
                 down_residuals=down, mid_residual=mid)
             e_u, e_c = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, latents)
+            return e_u + guidance_scale * (e_c - e_u)
 
-        return jax.lax.fori_loop(0, num_steps, body, latents)
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      noise * sched.init_sigma)
 
     def __call__(self, mesh, num_inference_steps: int = 50,
                  guidance_scale: float = 7.0, seed: int = 0,
@@ -242,6 +239,8 @@ class MVAdapterTG2MVPipeline(_MVAdapterBase):
         out = self._denoise(self.params, noise, ctrl,
                             int(num_inference_steps),
                             jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "DDIMScheduler",
                             jnp.asarray(self.prompt_embeds),
                             jnp.asarray(self.negative_embeds))
         return self._decode(out), pos_maps, normal_maps

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.schedulers import DDIM, SchedulerConfig
+from ..diffusion.schedulers import (SchedulerConfig, make_scheduler,
+                                     sample_loop)
 from ..diffusion.unet import UNet2DCondition, UNetConfig
 from ..diffusion.vae import AutoencoderKL, VAEConfig
 
@@ -124,10 +125,13 @@ class MVDreamPipeline:
                                        cams)
         cam_emb2 = jnp.concatenate([cam_emb, cam_emb])
 
-        sched = DDIM(SchedulerConfig(), num_inference_steps)
+        sched = make_scheduler(
+            getattr(self, "scheduler_name", None) or "DDIMScheduler",
+            SchedulerConfig(), num_inference_steps)
         lat = cfg.image_size // cfg.vae_factor
         key = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(key, (v, lat, lat, 4))
+        latents = jax.random.normal(key, (v, lat, lat, 4)) \
+            * sched.init_sigma
 
         unet_apply = partial(self.unet.apply,
                              {"params": self.params["unet"]})
@@ -135,17 +139,15 @@ class MVDreamPipeline:
         ad2 = (None if adapter_residuals is None else
                [jnp.concatenate([r, r]) for r in adapter_residuals])
 
-        def body(i, latents):
-            t = sched.timesteps[i]
-            lat_in = jnp.concatenate([latents, latents])
+        def denoise_fn(x_in, i, t):
+            lat_in = jnp.concatenate([x_in, x_in])
             tvec = jnp.full((2 * v,), t, jnp.float32)
             out, _ = unet_apply(lat_in, tvec, states, class_emb=cam_emb2,
                                 adapter_residuals=ad2)
             un, co = jnp.split(out, 2)
-            pred = un + guidance_scale * (co - un)
-            return sched.step(pred, i, latents)
+            return un + guidance_scale * (co - un)
 
-        latents = jax.lax.fori_loop(0, num_inference_steps, body, latents)
+        latents = sample_loop(sched, denoise_fn, latents, key=key)
         img = self.vae.apply({"params": self.params["vae"]}, latents,
                              method=AutoencoderKL.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)

@@ -110,32 +110,30 @@ class Unique3DImage2MVPipeline:
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _denoise(self, params, latents, img_lat, num_steps: int,
-                 guidance_scale, cond):
+                 guidance_scale, scheduler_name: str, cond):
         cfg = self.cfg
         v = cfg.num_views
-        sched = schedulers.EulerAncestral(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         labels = jnp.arange(v) % cfg.num_cls
         cls_emb = self.cls_embed.apply({"params": params["cls"]}, labels)
         cls2 = jnp.concatenate([cls_emb, cls_emb], axis=0)
         img2 = jnp.concatenate([jnp.zeros_like(img_lat), img_lat], 0)
         cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
-        latents = latents * sched.init_sigma
 
-        def step(lat, i):
-            x2 = jnp.concatenate([lat, lat], axis=0)
-            x2 = sched.scale_model_input(x2, i)
+        def denoise_fn(x_in, i, t):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             x2 = jnp.concatenate([x2, img2], axis=-1)
-            tvec = jnp.broadcast_to(sched.timesteps[i], (2 * v,))
+            tvec = jnp.broadcast_to(t, (2 * v,))
             eps, _ = self.unet.apply({"params": params["unet"]}, x2,
                                      tvec, cond2, class_emb=cls2)
             e_u, e_c = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, lat, jax.random.PRNGKey(i)), None
+            return e_u + guidance_scale * (e_c - e_u)
 
-        lat, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
-        return lat
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      latents * sched.init_sigma)
 
     def __call__(self, image, num_inference_steps: int = 30,
                  guidance_scale: float = 1.5, seed: int = 1145,
@@ -165,7 +163,9 @@ class Unique3DImage2MVPipeline:
                                   (v, lh, lw, 4))
         out = self._denoise(self.params, noise, img_lat,
                             int(num_inference_steps),
-                            jnp.float32(guidance_scale), cond)
+                            jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "EulerAncestralDiscreteScheduler", cond)
         imgs = self.vae.apply({"params": self.params["vae"]},
                               out / cfg.vae_scaling,
                               method=AutoencoderKL.decode)
@@ -202,36 +202,34 @@ class Unique3DImage2NormalPipeline:
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn
 
-    @partial(jax.jit, static_argnums=(0, 4))
+    @partial(jax.jit, static_argnums=(0, 4, 6))
     def _denoise(self, params, latents, img_lat, num_steps: int,
-                 guidance_scale, cond):
+                 guidance_scale, scheduler_name: str, cond):
         cfg = self.cfg
-        sched = schedulers.EulerAncestral(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         img2 = jnp.concatenate([jnp.zeros_like(img_lat), img_lat], 0)
         cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
-        latents = latents * sched.init_sigma
 
-        def step(lat, i):
+        def denoise_fn(x_in, i, t):
             # reference write pass: the (clean) condition latent runs
             # through the UNet recording every self-attn's hidden
             # states (pixel-wise crosspond reads them back)
-            t1 = jnp.broadcast_to(sched.timesteps[i], (2,))
+            t1 = jnp.broadcast_to(t, (2,))
             _, written = self.unet.apply(
                 {"params": params["unet"]},
                 jnp.concatenate([img2, img2], axis=-1), t1, cond2,
                 ref_mode="write")
-            x2 = jnp.concatenate([lat, lat], axis=0)
-            x2 = sched.scale_model_input(x2, i)
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             x2 = jnp.concatenate([x2, img2], axis=-1)
             eps, _ = self.unet.apply(
                 {"params": params["unet"]}, x2, t1, cond2,
                 ref_mode="read", ref_hidden=written)
             e_u, e_c = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance_scale * (e_c - e_u)
-            return sched.step(eps, i, lat, jax.random.PRNGKey(i)), None
+            return e_u + guidance_scale * (e_c - e_u)
 
-        lat, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
-        return lat
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      latents * sched.init_sigma)
 
     def __call__(self, image, num_inference_steps: int = 30,
                  guidance_scale: float = 1.5, seed: int = 0):
@@ -257,7 +255,9 @@ class Unique3DImage2NormalPipeline:
                                   (1, lh, lw, 4))
         out = self._denoise(self.params, noise, img_lat,
                             int(num_inference_steps),
-                            jnp.float32(guidance_scale), cond)
+                            jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "EulerAncestralDiscreteScheduler", cond)
         imgs = self.vae.apply({"params": self.params["vae"]},
                               out / cfg.vae_scaling,
                               method=AutoencoderKL.decode)

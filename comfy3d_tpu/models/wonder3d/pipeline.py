@@ -111,31 +111,31 @@ class Wonder3DPipeline:
         return self.class_mlp.apply({"params": self.params["class_mlp"]},
                                     sincos)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 5, 7))
     def _denoise(self, params, latents, image_latents, cond,
-                 num_steps: int, guidance_scale):
+                 num_steps: int, guidance_scale,
+                 scheduler_name: str = "DDIMScheduler"):
         cfg = self.cfg
         nf = latents.shape[0]
-        sched = schedulers.DDIM(cfg.scheduler, num_steps)
+        sched = schedulers.make_scheduler(scheduler_name, cfg.scheduler,
+                                          num_steps)
         class_emb = self._camera_class_emb(nf)
         class_emb2 = jnp.concatenate([class_emb, class_emb], axis=0)
         img_lat2 = jnp.concatenate(
             [jnp.zeros_like(image_latents), image_latents], axis=0)
         cond2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
 
-        def step(lat, i):
-            x2 = jnp.concatenate([lat, lat], axis=0)
+        def denoise_fn(x_in, i, t):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
             x2 = jnp.concatenate([x2, img_lat2], axis=-1)
-            tvec = jnp.broadcast_to(sched.timesteps[i], (2 * nf,))
+            tvec = jnp.broadcast_to(t, (2 * nf,))
             eps, _ = self.unet.apply({"params": params}, x2, tvec, cond2,
                                      class_emb=class_emb2)
             e_uncond, e_cond = jnp.split(eps, 2, axis=0)
-            eps = e_uncond + guidance_scale * (e_cond - e_uncond)
-            lat = sched.step(eps, i, lat)
-            return lat, None
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
 
-        lat, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
-        return lat
+        return schedulers.sample_loop(sched, denoise_fn,
+                                      latents * sched.init_sigma)
 
     def __call__(self, image, num_inference_steps: int = 50,
                  guidance_scale: float = 1.0, seed: int = 0):
@@ -171,7 +171,9 @@ class Wonder3DPipeline:
                                   (nf, lh, lw, 4))
         out = self._denoise(self.params["unet"], noise, img_lat, cond,
                             int(num_inference_steps),
-                            jnp.float32(guidance_scale))
+                            jnp.float32(guidance_scale),
+                            getattr(self, "scheduler_name", None)
+                            or "DDIMScheduler")
         imgs = self.vae.apply({"params": self.params["vae"]},
                               out / cfg.vae_scaling,
                               method=AutoencoderKL.decode)

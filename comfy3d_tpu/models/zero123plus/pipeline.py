@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.schedulers import EulerAncestral, SchedulerConfig
+from ..diffusion.schedulers import SchedulerConfig, make_scheduler
 from ..diffusion.unet import UNet2DCondition, UNetConfig
 from ..diffusion.vae import AutoencoderKL, VAEConfig
 
@@ -133,7 +133,9 @@ class Zero123PlusPipeline:
             image = jax.image.resize(
                 image, (1, cfg.cond_size, cfg.cond_size, 3), "bilinear")
 
-        sched = EulerAncestral(
+        sched = make_scheduler(
+            getattr(self, "scheduler_name", None)
+            or "EulerAncestralDiscreteScheduler",
             SchedulerConfig(prediction_type="v_prediction",
                             timestep_spacing="trailing"),
             num_inference_steps)
@@ -157,7 +159,7 @@ class Zero123PlusPipeline:
                              {"params": self.params["unet"]})
 
         def body(i, carry):
-            latents, key = carry
+            latents, aux, key = carry
             key, k_cond, k_step = jax.random.split(key, 3)
             t = sched.timesteps[i]
             tvec = jnp.full((cond_lat.shape[0],), t, jnp.float32)
@@ -176,11 +178,13 @@ class Zero123PlusPipeline:
             if use_cfg:
                 uncond, cond = jnp.split(out, 2)
                 out = uncond + guidance_scale * (cond - uncond)
-            latents = sched.step(out, i, latents, key=k_step)
-            return latents, key
+            latents, aux = sched.step_aux(out, i, latents, aux,
+                                          key=k_step)
+            return latents, aux, key
 
-        latents, _ = jax.lax.fori_loop(0, num_inference_steps, body,
-                                       (latents, key))
+        latents, _, _ = jax.lax.fori_loop(
+            0, sched.loop_steps, body,
+            (latents, sched.init_aux(latents), key))
         latents = unscale_latents(latents)
         if output_type == "latent":
             return latents

@@ -131,9 +131,9 @@ class Gaussian_Splatting_3D:
                 "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
                 "reference_orbit_camera_fovy": ("FLOAT",
                                                 {"default": 49.1}),
-                "training_iterations": ("INT", {"default": 3000,
+                "training_iterations": ("INT", {"default": 30000,
                                                 "min": 1}),
-                "batch_size": ("INT", {"default": 3, "min": 1}),
+                "batch_size": ("INT", {"default": 1, "min": 1}),
                 "ms_ssim_loss_weight": ("FLOAT", {"default": 0.2}),
                 "alpha_loss_weight": ("FLOAT", {"default": 3.0}),
                 "offset_loss_weight": ("FLOAT", {"default": 0.0}),
@@ -155,7 +155,7 @@ class Gaussian_Splatting_3D:
 
     def run_gs(self, reference_images, reference_masks,
                reference_orbit_camera_poses, reference_orbit_camera_fovy,
-               training_iterations=3000, batch_size=3,
+               training_iterations=30000, batch_size=1,
                ms_ssim_loss_weight=0.2, alpha_loss_weight=3.0,
                offset_loss_weight=0.0, offset_opacity_loss_weight=0.0,
                invert_background_probability=0.5,
