@@ -84,23 +84,73 @@ def bench_triposr_forward():
 
 def bench_triposr_image_to_mesh():
     """North star: full TripoSR image → mesh wall-clock (BASELINE.json;
-    reference runs `TSR.forward` + PyMCubes `extract_mesh` at 256³)."""
+    reference runs `TSR.forward` + PyMCubes `extract_mesh` at 256³).
+
+    Without downloaded weights the density field comes from a random
+    init; a fixed threshold then lands outside the field's range and
+    times an *empty* extraction (round-2 verdict weak #1). Calibrate the
+    iso threshold to the ~98th density percentile instead so the surface
+    has realistic (~2%) occupancy and the tet sweep, compaction, and
+    vertex/color queries all do production-shaped work."""
+    import jax.numpy as jnp
     from comfy3d_tpu.models.triposr import TripoSRPipeline
+    from comfy3d_tpu.models.triposr.pipeline import TripoSR
 
     pipe = TripoSRPipeline.init_random()
     img = np.random.RandomState(0).rand(1, 512, 512, 3).astype(np.float32)
+    codes = pipe.scene_codes(img)
+    # threshold calibration probe: random points across the volume
+    probe = jnp.asarray(np.random.RandomState(2).uniform(
+        -pipe.cfg.radius, pipe.cfg.radius, (32768, 3)).astype(np.float32))
+    sigma = pipe.model.apply({"params": pipe.params}, codes[0], probe,
+                             method=TripoSR.query)[0]
+    threshold = float(np.quantile(np.asarray(sigma), 0.98))
     # warm the compile path once (192³: 256³ crashes the remote AOT
     # compile helper on the tunnel; same asymptotics)
-    codes = pipe.scene_codes(img)
-    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=5.0,
+    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=threshold,
                              with_color=True)
     t0 = time.perf_counter()
     codes = pipe.scene_codes(img)
-    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=5.0,
+    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=threshold,
                              with_color=True)
     dt = time.perf_counter() - t0
     log(f"[bench] TripoSR image → mesh (192³ grid): {dt:.2f} s "
         f"({mesh.num_vertices} verts)")
+    return dt
+
+
+def bench_gs_train_step(n_gauss=100_000, size=800, n_views=4, iters=10):
+    """fwd+bwd 3DGS train step — the reference's hot loop
+    (main_3DGS.py:142-232) runs 30k of these per asset at batch 1."""
+    import dataclasses
+    from comfy3d_tpu.algorithms import gs_trainer as T
+    from comfy3d_tpu.core.camera import Camera
+    from comfy3d_tpu.core.gaussian import GaussianSplat
+
+    splat = GaussianSplat.random(jax.random.PRNGKey(5), n_gauss,
+                                 sh_degree=0, radius=0.8)
+    splat = dataclasses.replace(
+        splat, scale_raw=jnp.full_like(splat.scale_raw, np.log(0.01)),
+        opacity_raw=jnp.full_like(splat.opacity_raw, 1.0))
+    cams = Camera.from_orbit(
+        jnp.zeros((n_views,)), jnp.arange(n_views) * (360.0 / n_views),
+        2.2, width=size, height=size)
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.rand(n_views, size, size, 3), jnp.float32)
+    masks = jnp.ones((n_views, size, size), jnp.float32)
+    cfg = T.GSTrainConfig(batch_size=1)
+    state = T.init_state(splat)
+    step_fn = T.make_train_step(cfg, cams, imgs, masks)
+    key = jax.random.PRNGKey(0)
+    state, _ = step_fn(state, key)
+    jax.block_until_ready(state.params["xyz"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step_fn(state, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params["xyz"])
+    dt = (time.perf_counter() - t0) / iters
+    log(f"[bench] 3DGS train step (fwd+bwd, {n_gauss} @{size}², batch 1): "
+        f"{dt * 1000:.2f} ms  ({30000 * dt / 60:.1f} min / 30k-iter fit)")
     return dt
 
 
@@ -155,8 +205,9 @@ def main():
     dev = jax.devices()[0]
     log(f"[bench] device: {dev}")
     fps = bench_gs_render()
-    for fn in (bench_triposr_forward, bench_triposr_image_to_mesh,
-               bench_instantmesh_wallclock, bench_render_parity_psnr):
+    for fn in (bench_gs_train_step, bench_triposr_forward,
+               bench_triposr_image_to_mesh, bench_instantmesh_wallclock,
+               bench_render_parity_psnr):
         try:    # secondary metrics must not kill the headline
             fn()
         except Exception as e:
