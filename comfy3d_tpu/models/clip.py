@@ -41,6 +41,7 @@ class CLIPTextConfig:
     max_positions: int = 77
     eps: float = 1e-5
     eos_token_id: int = 49407
+    act: str = "quick_gelu"      # SD1.x openai CLIP; SD2.x: "gelu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,7 +105,7 @@ class CLIPTextEncoder(nn.Module):
         x = tok[input_ids] + pos[None, :t]
         for i in range(c.layers):
             x = CLIPBlock(c.hidden, c.heads, c.mlp_dim, c.eps,
-                          causal=True, name=f"layers_{i}")(x)
+                          causal=True, act=c.act, name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=c.eps, name="final_layer_norm")(x)
         # pool at the first EOS token (HF CLIP for eos_token_id != 2)
         eot = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32),
@@ -286,6 +287,21 @@ def convert_open_clip_visual(state_dict,
             part = C.t_linear(part) if kind == "weight" else part
             C.set_path(tree, f"layers_{idx}/{name}/{leaf}", part)
     return tree
+
+
+def empty_prompt_ids(max_positions: int = 77, pad_token_id: int = 49407,
+                     bos_token_id: int = 49406,
+                     eos_token_id: int = 49407):
+    """Token ids for the empty prompt "" under CLIPTokenizer padding to
+    model_max_length — computable without the vocab file (the empty
+    string tokenizes to [BOS, EOS] + pads). SD2-class checkpoints
+    (Zero123Plus tokenizer_config.json) pad with "!" (id 0); SD1.x pads
+    with EOS."""
+    import numpy as _np
+    ids = _np.full((1, max_positions), pad_token_id, _np.int32)
+    ids[0, 0] = bos_token_id
+    ids[0, 1] = eos_token_id
+    return ids
 
 
 def make_vision_conditioner(params, cfg: CLIPVisionConfig

@@ -291,6 +291,22 @@ def load_vae_dir(path: str):
     return cfg, params, raw
 
 
+def encode_empty_prompt(text_encoder_dir: str):
+    """Run the checkpoint's CLIPTextModel on the empty prompt "" and
+    return the hidden states [T, D] (the reference pipelines'
+    `_encode_prompt(prompt="")` path, e.g.
+    `Zero123Plus/pipeline.py:335,377`). The empty prompt needs no
+    vocab: it tokenizes to [BOS, EOS] + padding (SD2-class tokenizers
+    pad with "!"=0, SD1.x with EOS)."""
+    import numpy as _np
+    from ..clip import CLIPTextEncoder, empty_prompt_ids
+    cfg, params, raw = load_clip_text_dir(text_encoder_dir)
+    pad = 0 if cfg.act == "gelu" else 49407
+    ids = empty_prompt_ids(cfg.max_positions, pad_token_id=pad)
+    h, _ = CLIPTextEncoder(cfg).apply({"params": params}, ids)
+    return _np.asarray(h[0])
+
+
 def load_clip_vision_dir(path: str):
     """CLIPVisionModel(+WithProjection) directory → conditioner parts."""
     import os
@@ -305,7 +321,8 @@ def load_clip_vision_dir(path: str):
         mlp_dim=vc.get("intermediate_size", 4096),
         image_size=vc.get("image_size", 224),
         patch=vc.get("patch_size", 14),
-        projection_dim=raw.get("projection_dim", 768))
+        projection_dim=raw.get("projection_dim", 768),
+        act=vc.get("hidden_act", "quick_gelu"))
     sd = load_dir_state_dict(path)
     params = convert_clip(sd)
     return cfg, params, raw
@@ -323,7 +340,8 @@ def load_clip_text_dir(path: str):
         heads=raw.get("num_attention_heads", 12),
         mlp_dim=raw.get("intermediate_size", 3072),
         max_positions=raw.get("max_position_embeddings", 77),
-        eos_token_id=raw.get("eos_token_id", 49407))
+        eos_token_id=raw.get("eos_token_id", 49407),
+        act=raw.get("hidden_act", "quick_gelu"))
     sd = load_dir_state_dict(path)
     params = convert_clip(sd)
     return cfg, params, raw

@@ -104,6 +104,53 @@ class Zero123PlusPipeline:
         vae_params = vae.init(k2, jnp.zeros((1, 64, 64, 3)))["params"]
         return cls({"unet": unet_params, "vae": vae_params}, cfg)
 
+    @classmethod
+    def from_pretrained(cls, path: str,
+                        **cfg_overrides) -> "Zero123PlusPipeline":
+        """Load a sudo-ai/zero123plus-v1.x diffusers directory
+        (`model_index.json` + unet/ vae/ text_encoder/ vision_encoder/)
+        through the torch→flax converters. Mirrors the reference's
+        `DiffusionPipeline.from_pretrained` composition
+        (`Zero123Plus/pipeline.py:272-313`): ramping coefficients come
+        from model_index.json, global conditioning from the projected
+        CLIPVisionModelWithProjection, prompt embedding from the empty
+        prompt."""
+        import os
+        from ..diffusion.convert import (encode_empty_prompt,
+                                         load_clip_vision_dir,
+                                         load_unet_dir, load_vae_dir)
+        from ..loader import read_json_config
+        index = read_json_config(os.path.join(path, "model_index.json"))
+        unet_cfg, unet_params, _ = load_unet_dir(
+            os.path.join(path, "unet"))
+        vae_cfg, vae_params, _ = load_vae_dir(os.path.join(path, "vae"))
+        cfg = Zero123PlusConfig(
+            unet=unet_cfg, vae=vae_cfg,
+            prompt_dim=unet_cfg.cross_attention_dim, **cfg_overrides)
+        ramping = np.asarray(
+            index.get("ramping_coefficients")
+            or np.zeros((cfg.prompt_tokens,)), np.float32)
+
+        prompt_embeds = None
+        te = os.path.join(path, "text_encoder")
+        if os.path.isdir(te) and any(
+                f.startswith(("model", "pytorch_model"))
+                for f in os.listdir(te)):
+            prompt_embeds = encode_empty_prompt(te)
+
+        pipe = cls({"unet": unet_params, "vae": vae_params}, cfg,
+                   prompt_embeds=prompt_embeds, ramping=ramping)
+
+        ve = os.path.join(path, "vision_encoder")
+        if os.path.isdir(ve) and any(
+                f.startswith(("model", "pytorch_model"))
+                for f in os.listdir(ve)):
+            from ..clip import make_vision_conditioner
+            vcfg, vparams, _ = load_clip_vision_dir(ve)
+            pipe.set_vision_encoder(
+                make_vision_conditioner(vparams, vcfg))
+        return pipe
+
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn
 

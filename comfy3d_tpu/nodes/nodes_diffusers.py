@@ -24,6 +24,19 @@ from .base import CKPT_ROOT_PATH, register
 CKPT_DIFFUSERS_PATH = os.path.join(CKPT_ROOT_PATH, "Diffusers")
 
 
+def _has_weights(path: str) -> bool:
+    """True when the directory tree holds at least one weight file —
+    distinguishes a real checkpoint from the config-skeleton dirs the
+    reference ships under `Checkpoints/` as placeholders."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith((".safetensors", ".bin", ".ckpt", ".pth")):
+                return True
+    return False
+
+
 def _mvdream():
     from ..models.mvdream import MVDreamPipeline
     return MVDreamPipeline.init_random()
@@ -34,8 +47,10 @@ def _wonder3d():
     return Wonder3DPipeline.init_random()
 
 
-def _zero123plus():
+def _zero123plus(ckpt_dir=None):
     from ..models.zero123plus import Zero123PlusPipeline
+    if ckpt_dir:
+        return Zero123PlusPipeline.from_pretrained(ckpt_dir)
     return Zero123PlusPipeline.init_random()
 
 
@@ -148,7 +163,21 @@ class Load_Diffusers_Pipeline:
                             force_disable_xformers=False):
         factory = DIFFUSERS_PIPE_FACTORIES[diffusers_pipeline_name]
         ckpt_dir = os.path.join(CKPT_DIFFUSERS_PATH, repo_id)
-        if not os.path.isdir(ckpt_dir):
+        if checkpoint_sub_dir:
+            ckpt_dir = os.path.join(ckpt_dir, checkpoint_sub_dir)
+        import inspect
+        takes_ckpt = "ckpt_dir" in inspect.signature(factory).parameters
+        if _has_weights(ckpt_dir) and takes_ckpt:
+            pipe = factory(ckpt_dir=ckpt_dir)
+            print(f"[Load_Diffusers_Pipeline] loaded "
+                  f"{diffusers_pipeline_name} from {ckpt_dir}")
+            pipe.repo_id = repo_id
+            return (pipe,)
+        elif _has_weights(ckpt_dir):
+            print(f"[Load_Diffusers_Pipeline] "
+                  f"{diffusers_pipeline_name} has no checkpoint "
+                  f"loader yet — initializing random weights")
+        else:
             print(f"[Load_Diffusers_Pipeline] no local checkpoint at "
                   f"{ckpt_dir} — initializing "
                   f"{diffusers_pipeline_name} with random weights")

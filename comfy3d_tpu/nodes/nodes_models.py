@@ -216,8 +216,17 @@ class Zero123Plus_Diffusion_Model:
         if pipe is None:
             cls = self.__class__
             if cls._cached is None:
-                print("[Zero123Plus] no pipe wired — random weights")
-                cls._cached = Zero123PlusPipeline.init_random()
+                from .nodes_diffusers import (CKPT_DIFFUSERS_PATH,
+                                              _has_weights)
+                default = os.path.join(CKPT_DIFFUSERS_PATH, "sudo-ai",
+                                       "zero123plus-v1.2")
+                if _has_weights(default):
+                    cls._cached = Zero123PlusPipeline.from_pretrained(
+                        default)
+                else:
+                    print("[Zero123Plus] no pipe wired and no local "
+                          f"checkpoint at {default} — random weights")
+                    cls._cached = Zero123PlusPipeline.init_random()
             pipe = cls._cached
 
         img = np.asarray(img_utils.composite_background(

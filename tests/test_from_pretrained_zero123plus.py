@@ -1,0 +1,151 @@
+"""Zero123Plus `from_pretrained` against a fabricated checkpoint.
+
+Builds a tiny sudo-ai/zero123plus-v1.2-layout directory on disk
+(model_index.json with ramping coefficients; unet/ vae/ text_encoder/
+vision_encoder/ with diffusers-format safetensors; layout verified
+against `/root/reference/Checkpoints/Diffusers/sudo-ai/zero123plus-v1.2`
+config skeletons) and checks the loader consumes every torch key, the
+flax↔torch mapping is a bijection, and the loaded pipeline runs with
+vision-encoder conditioning + ramping active, matching the composition
+of the reference `Zero123PlusPipeline` (`Zero123Plus/pipeline.py:
+272-430`)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import diffusers_fixture as fx
+
+UNET_CFG = {
+    "in_channels": 4, "out_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 2,
+    "cross_attention_dim": 16, "attention_head_dim": 4,
+    "norm_num_groups": 4, "use_linear_projection": True,
+    "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D"],
+}
+VAE_CFG = {
+    "in_channels": 3, "latent_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "norm_num_groups": 4, "scaling_factor": 0.18215,
+}
+TEXT_CFG = {
+    "architectures": ["CLIPTextModel"], "hidden_size": 16,
+    "num_hidden_layers": 2, "num_attention_heads": 2,
+    "intermediate_size": 32, "max_position_embeddings": 77,
+    "vocab_size": 49408, "hidden_act": "gelu", "eos_token_id": 2,
+}
+VISION_CFG = {
+    "architectures": ["CLIPVisionModelWithProjection"],
+    "hidden_size": 8, "num_hidden_layers": 2,
+    "num_attention_heads": 2, "intermediate_size": 16,
+    "image_size": 28, "patch_size": 14, "projection_dim": 16,
+    "hidden_act": "gelu",
+}
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from comfy3d_tpu.models.clip import (CLIPTextEncoder,
+                                         CLIPVisionEncoder, clip_rules)
+    from comfy3d_tpu.models.diffusion import convert as dconv
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    from comfy3d_tpu.models.diffusion.vae import AutoencoderKL
+
+    root = tmp_path_factory.mktemp("zero123plus-v1.2")
+    rng = np.random.default_rng(0)
+
+    # --- unet
+    ucfg = dconv.unet_config_from_json(UNET_CFG)
+    unet = UNet2DCondition(ucfg)
+    uparams = unet.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 12, 8, 4)), jnp.zeros((1,)),
+                        jnp.zeros((1, 77, 16)))["params"]
+    keys = fx.enumerate_unet_keys(
+        UNET_CFG["down_block_types"], UNET_CFG["up_block_types"],
+        UNET_CFG["block_out_channels"], UNET_CFG["layers_per_block"])
+    sd = fx.fabricate_state_dict(keys, dconv.unet_rules(), uparams, rng)
+    fx.write_component(os.path.join(root, "unet"), UNET_CFG, sd)
+
+    # --- vae
+    vcfg = dconv.vae_config_from_json(VAE_CFG)
+    vae = AutoencoderKL(vcfg)
+    vparams = vae.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, 16, 16, 3)))["params"]
+    keys = fx.enumerate_vae_keys(VAE_CFG["block_out_channels"],
+                                 VAE_CFG["layers_per_block"])
+    sd = fx.fabricate_state_dict(keys, dconv.vae_rules(), vparams, rng)
+    fx.write_component(os.path.join(root, "vae"), VAE_CFG, sd)
+
+    # --- text encoder
+    tcfg = fx_text_cfg()
+    tparams = CLIPTextEncoder(tcfg).init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 77), jnp.int32))["params"]
+    keys = fx.enumerate_clip_keys(TEXT_CFG["num_hidden_layers"], False)
+    sd = fx.fabricate_state_dict(keys, clip_rules(), tparams, rng)
+    fx.write_component(os.path.join(root, "text_encoder"), TEXT_CFG, sd,
+                       weights_name="model.safetensors")
+
+    # --- vision encoder
+    vscfg = fx_vision_cfg()
+    vsparams = CLIPVisionEncoder(vscfg).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 28, 28, 3)))["params"]
+    keys = fx.enumerate_clip_keys(VISION_CFG["num_hidden_layers"], True)
+    sd = fx.fabricate_state_dict(keys, clip_rules(), vsparams, rng)
+    fx.write_component(os.path.join(root, "vision_encoder"),
+                       VISION_CFG, sd, weights_name="model.safetensors")
+
+    ramp = np.linspace(0.0, 1.2, 77).tolist()
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "Zero123PlusPipeline",
+                   "ramping_coefficients": ramp}, f)
+    return str(root)
+
+
+def fx_text_cfg():
+    from comfy3d_tpu.models.clip import CLIPTextConfig
+    return CLIPTextConfig(hidden=16, layers=2, heads=2, mlp_dim=32,
+                          act="gelu")
+
+
+def fx_vision_cfg():
+    from comfy3d_tpu.models.clip import CLIPVisionConfig
+    return CLIPVisionConfig(hidden=8, layers=2, heads=2, mlp_dim=16,
+                            image_size=28, patch=14, projection_dim=16,
+                            act="gelu")
+
+
+def test_from_pretrained_runs(ckpt_dir):
+    from comfy3d_tpu.models.zero123plus import Zero123PlusPipeline
+    pipe = Zero123PlusPipeline.from_pretrained(
+        ckpt_dir, height=24, width=16, cond_size=16)
+    # ramping + prompt embeds came from the checkpoint
+    assert pipe.ramping.shape == (77,)
+    assert abs(float(pipe.ramping[-1]) - 1.2) < 1e-6
+    assert pipe.prompt_embeds.shape == (77, 16)
+    assert pipe.vision_encoder is not None
+    img = np.random.default_rng(1).random((16, 16, 3), np.float32)
+    out = pipe(img, num_inference_steps=2, guidance_scale=2.0)
+    arr = np.asarray(out)
+    assert arr.shape == (24, 16, 3)
+    assert np.isfinite(arr).all()
+
+
+def test_node_uses_checkpoint(ckpt_dir, monkeypatch):
+    """Load_Diffusers_Pipeline picks up the fabricated checkpoint."""
+    from comfy3d_tpu.nodes import nodes_diffusers as nd
+    monkeypatch.setattr(
+        nd, "CKPT_DIFFUSERS_PATH",
+        os.path.dirname(os.path.dirname(ckpt_dir)))
+    rel = os.path.join(os.path.basename(os.path.dirname(ckpt_dir)),
+                       os.path.basename(ckpt_dir))
+    node = nd.Load_Diffusers_Pipeline()
+    (pipe,) = node.load_diffusers_pipe("Zero123PlusPipeline",
+                                       repo_id=rel)
+    assert pipe.vision_encoder is not None
+    assert abs(float(pipe.ramping[-1]) - 1.2) < 1e-6
