@@ -61,6 +61,12 @@ _TBLOCK_SUB = {
     "attn2.to_out.0": ("attn2/to_out_0", _linear),
     "ff.net.0.proj": ("ff_net_0/proj", _linear),
     "ff.net.2": ("ff_net_2", _linear),
+    # Wonder3D cross-domain joint attention (transformer_mv2d.py:512-525)
+    "norm_joint_mid": ("norm_joint_mid", _norm),
+    "attn_joint_mid.to_q": ("attn_joint_mid/to_q", _linear),
+    "attn_joint_mid.to_k": ("attn_joint_mid/to_k", _linear),
+    "attn_joint_mid.to_v": ("attn_joint_mid/to_v", _linear),
+    "attn_joint_mid.to_out.0": ("attn_joint_mid/to_out_0", _linear),
 }
 
 
@@ -226,9 +232,14 @@ def unet_config_from_json(cfg: dict, **overrides):
     from .unet import UNetConfig
     ahd = cfg.get("attention_head_dim", 8)
     if isinstance(ahd, (list, tuple)):
-        # per-block head counts (SD1.x style) — our module takes the
-        # negative-head-count convention for uniform head counts
+        # per-block head counts (SD2.x style [5,10,20,20] = heads with
+        # constant 64-dim heads); uniform lists → negative-head-count
         ahd = -ahd[0] if len(set(ahd)) == 1 else 64
+    else:
+        # scalar attention_head_dim in UNet2DConditionModel configs is
+        # historically the HEAD COUNT (diffusers num_attention_heads
+        # fallback) — our module's negative-head-count convention
+        ahd = -ahd
     kw = dict(
         in_channels=cfg.get("in_channels", 4),
         out_channels=cfg.get("out_channels", 4),
@@ -244,6 +255,13 @@ def unet_config_from_json(cfg: dict, **overrides):
         up_block_types=tuple(cfg.get("up_block_types", (
             "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
             "CrossAttnUpBlock2D"))),
+        # multiview-UNet variants (Wonder3D/Era3D UNetMV2DConditionModel)
+        mv_views=cfg.get("num_views", 1)
+        if cfg.get("multiview_attention", False) else 1,
+        cd_joint=bool(cfg.get("cd_attention_mid", False)),
+        # Era3D row-wise self-attention blocks
+        # (selfattn_block="self_rowwise" in MacLab-Era3D configs)
+        mv_rowwise=cfg.get("selfattn_block", "") == "self_rowwise",
     )
     kw.update(overrides)
     return UNetConfig(**kw)

@@ -315,7 +315,7 @@ class UNet2DCondition(nn.Module):
                 # (which sets the stage's channel width)
                 if adapter_residuals is not None and li == 0:
                     h = h + adapter_residuals[bi]
-                if btype == "CrossAttnDownBlock2D":
+                if btype.startswith("CrossAttnDownBlock"):
                     heads, dim_head = self._heads(out_ch)
                     key = next_ref()
                     rh = (ref_hidden or {}).get(key)
@@ -360,7 +360,7 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock(out_ch, c.norm_groups,
                                 name=f"up_{bi}_res_{li}")(h, temb)
-                if btype == "CrossAttnUpBlock2D":
+                if btype.startswith("CrossAttnUpBlock"):
                     heads, dim_head = self._heads(out_ch)
                     key = next_ref()
                     rh = (ref_hidden or {}).get(key)

@@ -101,6 +101,63 @@ class Wonder3DPipeline:
         }
         return cls(params, cfg)
 
+    @classmethod
+    def from_pretrained(cls, path: str,
+                        **cfg_overrides) -> "Wonder3DPipeline":
+        """Load a flamehaze1115/wonder3d-v1.0 diffusers directory: the
+        UNetMV2DConditionModel (multiview + cross-domain joint
+        attention + projection class embedding,
+        `Wonder3D/models/unet_mv2d_condition.py`), AutoencoderKL, and
+        CLIPVisionModelWithProjection image encoder."""
+        import os
+        from ..convert import convert_with_rules
+        from ..diffusion.convert import (load_clip_vision_dir,
+                                         load_unet_dir, load_vae_dir,
+                                         unet_rules)
+        from ..loader import load_dir_state_dict, read_json_config
+
+        unet_dir = os.path.join(path, "unet")
+        raw = read_json_config(os.path.join(unet_dir, "config.json"))
+        unet_cfg, unet_params, _ = load_unet_dir(unet_dir)
+        vae_cfg, vae_params, _ = load_vae_dir(os.path.join(path, "vae"))
+        kw = dict(
+            unet=unet_cfg, vae=vae_cfg,
+            num_views=raw.get("num_views", 6),
+            prompt_dim=unet_cfg.cross_attention_dim,
+            image_size=raw.get("sample_size", 32) * 8)
+        kw.update(cfg_overrides)
+        cfg = Wonder3DConfig(**kw)
+
+        # diffusers class_embed_type='projection' lives inside the unet
+        # state dict; our pipeline keeps the MLP as a separate tree
+        sd = load_dir_state_dict(unet_dir)
+        ce = {k[len("class_embedding."):]: v for k, v in sd.items()
+              if k.startswith("class_embedding.")}
+
+        def ce_rules(key, val):
+            from ..convert import t_linear
+            for tk in ("linear_1", "linear_2"):
+                if key == f"{tk}.weight":
+                    return f"{tk}/kernel", t_linear(val)
+                if key == f"{tk}.bias":
+                    return f"{tk}/bias", val
+            return None
+
+        class_mlp = convert_with_rules(ce, ce_rules, strict=False)
+
+        pipe = cls({"unet": unet_params, "vae": vae_params,
+                    "class_mlp": class_mlp}, cfg)
+
+        ie = os.path.join(path, "image_encoder")
+        if os.path.isdir(ie) and any(
+                f.startswith(("model", "pytorch_model"))
+                for f in os.listdir(ie)):
+            from ..clip import make_vision_conditioner
+            vcfg, vparams, _ = load_clip_vision_dir(ie)
+            pipe.set_vision_encoder(
+                make_vision_conditioner(vparams, vcfg))
+        return pipe
+
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn
 

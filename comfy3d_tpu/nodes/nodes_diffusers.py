@@ -42,8 +42,10 @@ def _mvdream():
     return MVDreamPipeline.init_random()
 
 
-def _wonder3d():
+def _wonder3d(ckpt_dir=None):
     from ..models.wonder3d import Wonder3DPipeline
+    if ckpt_dir:
+        return Wonder3DPipeline.from_pretrained(ckpt_dir)
     return Wonder3DPipeline.init_random()
 
 

@@ -35,9 +35,12 @@ def _wb(name, kind_w, kinds):
 def enumerate_unet_keys(down_block_types, up_block_types,
                         block_out_channels,
                         layers_per_block=2, use_linear_projection=True,
-                        transformer_layers_per_block=1):
+                        transformer_layers_per_block=1,
+                        cd_joint=False):
     """Key layout of diffusers UNet2DConditionModel state dicts
-    (the layout `models.diffusion.convert.unet_rules` consumes)."""
+    (the layout `models.diffusion.convert.unet_rules` consumes).
+    `cd_joint` adds Wonder3D's per-transformer-block cross-domain
+    joint attention (UNetMV2DConditionModel, transformer_mv2d.py)."""
     keys = []
     proj_kind = "linear" if use_linear_projection else "conv1x1"
     _wb("conv_in", "conv", keys)
@@ -67,6 +70,12 @@ def enumerate_unet_keys(down_block_types, up_block_types,
             _wb(tb + ".norm3", "raw", keys)
             _wb(tb + ".ff.net.0.proj", "linear", keys)
             _wb(tb + ".ff.net.2", "linear", keys)
+            if cd_joint:
+                for p in ("to_q", "to_k", "to_v"):
+                    keys.append((f"{tb}.attn_joint_mid.{p}.weight",
+                                 "linear"))
+                _wb(f"{tb}.attn_joint_mid.to_out.0", "linear", keys)
+                _wb(tb + ".norm_joint_mid", "raw", keys)
         _wb(base + ".proj_out", proj_kind, keys)
 
     n = len(down_block_types)

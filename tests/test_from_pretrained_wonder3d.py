@@ -1,0 +1,115 @@
+"""Wonder3D `from_pretrained` against a fabricated checkpoint.
+
+Fabricates the flamehaze1115/wonder3d-v1.0 layout (UNetMV2DConditionModel
+with cross-domain joint attention + projection class embedding inside the
+unet state dict, AutoencoderKL, CLIPVisionModelWithProjection) and checks
+key bijection + a 2-step run. Layout cross-checked against
+`/root/reference/Checkpoints/Diffusers/flamehaze1115/wonder3d-v1.0`
+config skeletons and `Wonder3D/models/unet_mv2d_condition.py`."""
+
+import os
+
+import numpy as np
+import pytest
+
+import diffusers_fixture as fx
+
+UNET_CFG = {
+    "_class_name": "UNetMV2DConditionModel",
+    "in_channels": 8, "out_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 2,
+    "cross_attention_dim": 16, "attention_head_dim": 2,
+    "norm_num_groups": 4, "use_linear_projection": False,
+    "down_block_types": ["CrossAttnDownBlockMV2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "CrossAttnUpBlockMV2D"],
+    "num_views": 2, "multiview_attention": True,
+    "cd_attention_mid": True, "class_embed_type": "projection",
+    "projection_class_embeddings_input_dim": 10, "sample_size": 2,
+}
+VAE_CFG = {
+    "in_channels": 3, "latent_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "norm_num_groups": 4, "scaling_factor": 0.18215,
+}
+VISION_CFG = {
+    "architectures": ["CLIPVisionModelWithProjection"],
+    "hidden_size": 8, "num_hidden_layers": 2,
+    "num_attention_heads": 2, "intermediate_size": 16,
+    "image_size": 28, "patch_size": 14, "projection_dim": 16,
+    "hidden_act": "quick_gelu",
+}
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from comfy3d_tpu.models.clip import CLIPVisionEncoder, clip_rules
+    from comfy3d_tpu.models.convert import t_linear
+    from comfy3d_tpu.models.diffusion import convert as dconv
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    from comfy3d_tpu.models.diffusion.vae import AutoencoderKL
+    from comfy3d_tpu.models.wonder3d.pipeline import _ClassEmbedMLP
+
+    root = tmp_path_factory.mktemp("wonder3d-v1.0")
+    rng = np.random.default_rng(0)
+
+    ucfg = dconv.unet_config_from_json(UNET_CFG)
+    assert ucfg.mv_views == 2 and ucfg.cd_joint \
+        and ucfg.attention_head_dim == -2
+    nf = 2 * 2
+    unet = UNet2DCondition(ucfg)
+    uparams = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((nf, 2, 2, 8)),
+        jnp.zeros((nf,)), jnp.zeros((nf, 1, 16)),
+        class_emb=jnp.zeros((nf, 32)))["params"]
+    keys = fx.enumerate_unet_keys(
+        UNET_CFG["down_block_types"], UNET_CFG["up_block_types"],
+        UNET_CFG["block_out_channels"], UNET_CFG["layers_per_block"],
+        use_linear_projection=False, cd_joint=True)
+    sd = fx.fabricate_state_dict(keys, dconv.unet_rules(), uparams, rng)
+
+    # class_embedding MLP rides inside the unet state dict
+    mlp = _ClassEmbedMLP(32)
+    mparams = mlp.init(jax.random.PRNGKey(4),
+                       jnp.zeros((1, 10)))["params"]
+    for lin in ("linear_1", "linear_2"):
+        sd[f"class_embedding.{lin}.weight"] = np.ascontiguousarray(
+            np.asarray(mparams[lin]["kernel"]).T)
+        sd[f"class_embedding.{lin}.bias"] = np.asarray(
+            mparams[lin]["bias"])
+    fx.write_component(os.path.join(root, "unet"), UNET_CFG, sd)
+
+    vcfg = dconv.vae_config_from_json(VAE_CFG)
+    vparams = AutoencoderKL(vcfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))["params"]
+    keys = fx.enumerate_vae_keys(VAE_CFG["block_out_channels"],
+                                 VAE_CFG["layers_per_block"])
+    sd = fx.fabricate_state_dict(keys, dconv.vae_rules(), vparams, rng)
+    fx.write_component(os.path.join(root, "vae"), VAE_CFG, sd)
+
+    from comfy3d_tpu.models.clip import CLIPVisionConfig
+    vscfg = CLIPVisionConfig(hidden=8, layers=2, heads=2, mlp_dim=16,
+                             image_size=28, patch=14, projection_dim=16)
+    vsparams = CLIPVisionEncoder(vscfg).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 28, 28, 3)))["params"]
+    keys = fx.enumerate_clip_keys(2, True)
+    sd = fx.fabricate_state_dict(keys, clip_rules(), vsparams, rng)
+    fx.write_component(os.path.join(root, "image_encoder"),
+                       VISION_CFG, sd, weights_name="model.safetensors")
+    del t_linear
+    return str(root)
+
+
+def test_from_pretrained_runs(ckpt_dir):
+    from comfy3d_tpu.models.wonder3d import Wonder3DPipeline
+    pipe = Wonder3DPipeline.from_pretrained(ckpt_dir, image_size=16)
+    assert pipe.vision_encoder is not None
+    assert "linear_1" in pipe.params["class_mlp"]
+    img = np.random.default_rng(1).random((16, 16, 3), np.float32)
+    colors, normals = pipe(img, num_inference_steps=2,
+                           guidance_scale=2.0)
+    colors, normals = np.asarray(colors), np.asarray(normals)
+    assert colors.shape == (2, 16, 16, 3)
+    assert normals.shape == (2, 16, 16, 3)
+    assert np.isfinite(colors).all() and np.isfinite(normals).all()
