@@ -135,9 +135,16 @@ class CLIPVisionEncoder(nn.Module):
                          ((c.image_size // c.patch) ** 2 + 1, c.hidden))
         x = x + pos[None, :x.shape[1]]
         x = nn.LayerNorm(epsilon=c.eps, name="pre_layrnorm")(x)
+        penult = x
         for i in range(c.layers):
+            if i == c.layers - 1:
+                penult = x            # HF hidden_states[-2]
             x = CLIPBlock(c.hidden, c.heads, c.mlp_dim, c.eps,
                           act=c.act, name=f"layers_{i}")(x)
+        if project == "penultimate":
+            # ImageDream conditioning: tokens entering the last layer,
+            # un-normalized (pipeline_mvdream.py:413)
+            return penult, penult[:, 0]
         pooled = nn.LayerNorm(epsilon=c.eps,
                               name="post_layernorm")(x[:, 0])
         if not project:
@@ -324,6 +331,31 @@ def make_vision_conditioner(params, cfg: CLIPVisionConfig
         image = (image - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
         _, emb = model.apply({"params": params}, image)
         return emb
+
+    return fn
+
+
+def make_vision_hidden_conditioner(params, cfg: CLIPVisionConfig
+                                   ) -> Callable:
+    """fn(image [B, H, W, 3] in [0,1]) → penultimate hidden states
+    [B, 1+N, C] — the ImageDream IP path
+    (`LGM/mvdream/pipeline_mvdream.py:404-416`: CLIP-normalized 224²
+    encode → hidden_states[-2], fed to the UNet's Resampler)."""
+    model = CLIPVisionEncoder(cfg)
+
+    def fn(image):
+        image = jnp.asarray(image, jnp.float32)
+        if image.ndim == 3:
+            image = image[None]
+        s = cfg.image_size
+        if image.shape[1] != s or image.shape[2] != s:
+            image = jax.image.resize(image,
+                                     (image.shape[0], s, s, 3),
+                                     "bilinear")
+        image = (image - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+        tokens, _ = model.apply({"params": params}, image,
+                                project="penultimate")
+        return tokens
 
     return fn
 

@@ -53,6 +53,11 @@ class UNetConfig:
     # attend within their image row across views
     # (Era3D transformer_mv2d_rowwise.py:689-705)
     mv_rowwise: bool = False
+    # ImageDream IP-adapter: the last ip_dim context tokens get their
+    # own to_k_ip/to_v_ip in every cross-attention
+    # (LGM/mvdream/mv_unet.py:160-246)
+    ip_dim: int = 0
+    ip_weight: float = 1.0
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -102,23 +107,41 @@ class CrossAttention(nn.Module):
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
+    # ImageDream IP-adapter (LGM/mvdream/mv_unet.py:160-246): the last
+    # ip_dim context tokens ride separate to_k_ip/to_v_ip projections
+    # and their attention output is added with weight ip_weight
+    ip_dim: int = 0
+    ip_weight: float = 1.0
 
-    @nn.compact
-    def __call__(self, x, context=None, extra_kv=None):
-        inner = self.heads * self.dim_head
-        ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        if extra_kv is not None:
-            ctx = jnp.concatenate([ctx, extra_kv], axis=1)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+    def _attend(self, q, k, v):
         b, nq = q.shape[0], q.shape[1]
         nk = k.shape[1]
+        inner = self.heads * self.dim_head
         q = q.reshape(b, nq, self.heads, self.dim_head)
         k = k.reshape(b, nk, self.heads, self.dim_head)
         v = v.reshape(b, nk, self.heads, self.dim_head)
         out = jax.nn.dot_product_attention(q, k, v)
-        out = out.reshape(b, nq, inner)
+        return out.reshape(b, nq, inner)
+
+    @nn.compact
+    def __call__(self, x, context=None, extra_kv=None):
+        inner = self.heads * self.dim_head
+        is_cross = context is not None
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        ip_ctx = None
+        if self.ip_dim > 0 and is_cross:
+            ip_ctx = ctx[:, -self.ip_dim:]
+            ctx = ctx[:, :-self.ip_dim]
+        if extra_kv is not None:
+            ctx = jnp.concatenate([ctx, extra_kv], axis=1)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        out = self._attend(q, k, v)
+        if ip_ctx is not None:
+            k_ip = nn.Dense(inner, use_bias=False, name="to_k_ip")(ip_ctx)
+            v_ip = nn.Dense(inner, use_bias=False, name="to_v_ip")(ip_ctx)
+            out = out + self.ip_weight * self._attend(q, k_ip, v_ip)
         return nn.Dense(self.query_dim, name="to_out_0")(out)
 
 
@@ -131,6 +154,8 @@ class TransformerBlock(nn.Module):
     mv_views: int = 1             # needed to unfold frames for cd_joint
     mv_rowwise: bool = False      # Era3D row-wise multiview attention
     spatial_h: int = 0            # token-grid height (rowwise only)
+    ip_dim: int = 0               # ImageDream IP tokens in attn2
+    ip_weight: float = 1.0
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -176,8 +201,9 @@ class TransformerBlock(nn.Module):
             x = frames.reshape(b, t, c)
         h = nn.LayerNorm(name="norm2")(x)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               self.context_dim, name="attn2")(
-            h, context=context)
+                               self.context_dim, ip_dim=self.ip_dim,
+                               ip_weight=self.ip_weight,
+                               name="attn2")(h, context=context)
         h = nn.LayerNorm(name="norm3")(x)
         from ..common import GEGLU
         h = GEGLU(self.dim * 4, name="ff_net_0")(h)
@@ -198,6 +224,8 @@ class SpatialTransformer(nn.Module):
     mv_views: int = 1
     cd_joint: bool = False
     mv_rowwise: bool = False
+    ip_dim: int = 0
+    ip_weight: float = 1.0
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -219,6 +247,7 @@ class SpatialTransformer(nn.Module):
                 self.context_dim, cd_joint=self.cd_joint,
                 mv_views=max(self.mv_views, 1),
                 mv_rowwise=self.mv_rowwise,
+                ip_dim=self.ip_dim, ip_weight=self.ip_weight,
                 spatial_h=h, name=f"blocks_{i}")(
                 hid, context, ref_mode=ref_mode, ref_hidden=rh)
             written.append(wr)
@@ -260,7 +289,7 @@ class UNet2DCondition(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  ref_mode=None, ref_hidden=None,
                  class_emb=None, down_residuals=None, mid_residual=None,
-                 adapter_residuals=None):
+                 adapter_residuals=None, mv_views=None):
         """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
         [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
         written ref-hidden dict when ref_mode == 'write').
@@ -276,6 +305,11 @@ class UNet2DCondition(nn.Module):
         conditioning path) — one feature map per down stage, added
         after the stage's first resnet."""
         c = self.cfg
+        if mv_views is not None and mv_views != c.mv_views:
+            # ImageDream runs V+1 frames when the conditioning
+            # image rides as an extra view (mv_unet.py forward
+            # num_frames argument) — reshape-only, same params
+            c = dataclasses.replace(c, mv_views=mv_views)
         written = {}
         ref_i = [0]
 
@@ -323,6 +357,7 @@ class UNet2DCondition(nn.Module):
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
                         cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                        ip_dim=c.ip_dim, ip_weight=c.ip_weight,
                         name=f"down_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)
@@ -343,6 +378,7 @@ class UNet2DCondition(nn.Module):
             mid_ch, heads, dim_head, c.cross_attention_dim,
             norm_groups=c.norm_groups, mv_views=c.mv_views,
             cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+            ip_dim=c.ip_dim, ip_weight=c.ip_weight,
             name="mid_attn")(
             h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
         if ref_mode == "write":
@@ -368,6 +404,7 @@ class UNet2DCondition(nn.Module):
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
                         cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                        ip_dim=c.ip_dim, ip_weight=c.ip_weight,
                         name=f"up_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)

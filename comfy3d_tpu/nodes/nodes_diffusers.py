@@ -37,8 +37,10 @@ def _has_weights(path: str) -> bool:
     return False
 
 
-def _mvdream():
+def _mvdream(ckpt_dir=None):
     from ..models.mvdream import MVDreamPipeline
+    if ckpt_dir:
+        return MVDreamPipeline.from_pretrained(ckpt_dir)
     return MVDreamPipeline.init_random()
 
 

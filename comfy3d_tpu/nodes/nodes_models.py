@@ -267,7 +267,20 @@ class MVDream_Model:
     def run_model(self, mvdream_pipe, reference_image, reference_mask,
                   prompt="", seed=42, mv_guidance_scale=7.0,
                   num_inference_steps=30, elevation=0.0):
-        out = mvdream_pipe(num_inference_steps=num_inference_steps,
+        # ImageDream checkpoints condition on the reference image (IP
+        # tokens + pinned extra view); text-only MVDream ignores it
+        image = None
+        if getattr(mvdream_pipe.cfg, "ip_dim", 0) > 0 \
+                and reference_image is not None:
+            from ..core import image as img_utils
+            import jax.numpy as jnp
+            img = jnp.asarray(reference_image)
+            if reference_mask is not None:
+                img = img_utils.composite_background(
+                    img, jnp.asarray(reference_mask), (1.0, 1.0, 1.0))
+            image = np.asarray(img)[0]
+        out = mvdream_pipe(image=image,
+                           num_inference_steps=num_inference_steps,
                            guidance_scale=mv_guidance_scale, seed=seed,
                            elevation=elevation)
         return (np.asarray(out),)

@@ -85,6 +85,36 @@ def install():
     kop.safe_normalize = safe_normalize
     kop.inverse_sigmoid = lambda x: torch.log(x / (1 - x))
 
+    kcam = _stub("kiui.cam")
+    kiui.cam = kcam
+
+    def orbit_camera(elevation, azimuth, radius=1.0, **kw):
+        import numpy as _np
+        e, a = _np.deg2rad(elevation), _np.deg2rad(azimuth)
+        pos = _np.array([radius * _np.cos(e) * _np.sin(a),
+                         -radius * _np.sin(e),
+                         radius * _np.cos(e) * _np.cos(a)], _np.float32)
+        fwd = pos / _np.linalg.norm(pos)
+        up = _np.array([0, 1, 0], _np.float32)
+        right = _np.cross(up, fwd)
+        right /= _np.linalg.norm(right)
+        up2 = _np.cross(fwd, right)
+        T = _np.eye(4, dtype=_np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, up2, fwd, pos
+        return T
+
+    kcam.orbit_camera = orbit_camera
+
+    # diffusers.models.modeling_utils.ModelMixin (mv_unet.py base class)
+    dif_models = _stub("diffusers.models")
+    dif_mu = _stub("diffusers.models.modeling_utils")
+
+    class ModelMixin(torch.nn.Module):
+        pass
+
+    dif_mu.ModelMixin = ModelMixin
+    dif_models.modeling_utils = dif_mu
+
     # diffusers bits the Hunyuan/vecset package __init__ chains import
     dif = _stub("diffusers")
     dif_utils = _stub("diffusers.utils")

@@ -1,0 +1,128 @@
+"""ImageDream/MVDream weight-conversion parity vs the reference torch
+MultiViewUNetModel (`Gen_3D_Modules/LGM/mvdream/mv_unet.py`).
+
+Instantiates the vendored LDM-layout torch UNet at a tiny config with
+random init (ip_dim > 0 → ImageDream variant with camera MLP and IP
+Resampler), converts the state dict through
+`comfy3d_tpu.models.mvdream.convert.convert_mv_unet`, and asserts the
+flax substrate reproduces the torch forward output — multiview 3D
+self-attention, IP-adapter cross attention, camera conditioning, and
+the pinned extra-view frame included."""
+
+import numpy as np
+import pytest
+
+import refutil
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from comfy3d_tpu.models.mvdream.convert import (  # noqa: E402
+    config_from_mv_unet_json, convert_mv_unet)
+
+ATOL = 2e-4
+
+RAW_CFG = {
+    "image_size": 8, "in_channels": 4, "model_channels": 32,
+    "out_channels": 4, "num_res_blocks": 1,
+    "attention_resolutions": [1], "channel_mult": [1, 2],
+    "num_head_channels": 8, "context_dim": 16, "camera_dim": 16,
+    "ip_dim": 4, "ip_weight": 1.0,
+}
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    refutil.install()
+    mv = refutil.load("LGM.mvdream.mv_unet")
+
+    # the vendored module's local memory_efficient_attention shim does
+    # not accept the op= kwarg its own call sites pass
+    def attn(q, k, v, attn_bias=None, op=None):
+        import math
+        scores = torch.matmul(q, k.transpose(-2, -1)) \
+            / math.sqrt(k.size(-1))
+        w = torch.softmax(scores.float(), dim=-1).to(q.dtype)
+        return torch.matmul(w, v)
+
+    mv.memory_efficient_attention = attn
+    torch.manual_seed(0)
+    model = mv.MultiViewUNetModel(
+        image_size=RAW_CFG["image_size"],
+        in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=[1],
+        channel_mult=(1, 2), num_head_channels=8, context_dim=16,
+        camera_dim=16, ip_dim=4, ip_weight=1.0)
+    model.eval()
+    # shrink the hardcoded ImageDream resampler? no — keep it; tiny
+    # context_dim already bounds it (dim=16, heads 12 x 64 inner)
+    return model
+
+
+def test_forward_parity(torch_model):
+    nf = 2
+    rng = np.random.RandomState(0)
+    x = rng.randn(nf, 4, 8, 8).astype(np.float32)
+    t = np.array([7.0, 7.0], np.float32)
+    ctx = rng.randn(nf, 5, 16).astype(np.float32)
+    cam = rng.randn(nf, 16).astype(np.float32)
+    ip = rng.randn(nf, 6, 1280).astype(np.float32)
+    ip_img = rng.randn(1, 4, 8, 8).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = torch_model(
+            torch.from_numpy(x.copy()), timesteps=torch.from_numpy(t),
+            context=torch.from_numpy(ctx.copy()),
+            camera=torch.from_numpy(cam), num_frames=nf,
+            ip=torch.from_numpy(ip),
+            ip_img=torch.from_numpy(ip_img)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in
+          torch_model.state_dict().items()}
+    trees = convert_mv_unet(sd, num_res_blocks=1)
+    assert "resampler" in trees and "camera" in trees
+
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    from comfy3d_tpu.models.mvdream.pipeline import (CameraEmbed,
+                                                     Resampler)
+    ucfg = config_from_mv_unet_json(RAW_CFG)
+    assert ucfg.attention_head_dim == 8 and ucfg.ip_dim == 4
+
+    ip_emb = Resampler(dim=16, depth=4, dim_head=64, heads=12,
+                       num_queries=4, output_dim=16).apply(
+        {"params": trees["resampler"]}, jnp.asarray(ip))
+    cam_emb = CameraEmbed(128).apply({"params": trees["camera"]},
+                                    jnp.asarray(cam))
+    ctx_full = jnp.concatenate([jnp.asarray(ctx), ip_emb], axis=1)
+
+    x_f = x.copy()
+    x_f[nf - 1::nf] = ip_img            # the unet's in-place pinning
+    x_nhwc = jnp.asarray(np.transpose(x_f, (0, 2, 3, 1)))
+    out_f, _ = UNet2DCondition(ucfg).apply(
+        {"params": trees["unet"]}, x_nhwc, jnp.asarray(t), ctx_full,
+        class_emb=cam_emb, mv_views=nf)
+    out_f = np.transpose(np.asarray(out_f), (0, 3, 1, 2))
+
+    assert out_t.shape == out_f.shape
+    diff = np.abs(out_t - out_f).max()
+    assert diff < ATOL, f"max diff {diff}"
+
+
+def test_resampler_parity(torch_model):
+    """Isolated Resampler (image_embed) numeric check."""
+    from comfy3d_tpu.models.mvdream.pipeline import Resampler
+    rng = np.random.RandomState(1)
+    hid = rng.randn(2, 6, 1280).astype(np.float32)
+    with torch.no_grad():
+        out_t = torch_model.image_embed(
+            torch.from_numpy(hid)).numpy()
+    sd = {k: v.detach().numpy() for k, v in
+          torch_model.state_dict().items()}
+    trees = convert_mv_unet(sd, num_res_blocks=1)
+    out_f = np.asarray(Resampler(
+        dim=16, depth=4, dim_head=64, heads=12, num_queries=4,
+        output_dim=16).apply({"params": trees["resampler"]},
+                             jnp.asarray(hid)))
+    assert np.abs(out_t - out_f).max() < ATOL
