@@ -67,6 +67,13 @@ _TBLOCK_SUB = {
     "attn_joint_mid.to_k": ("attn_joint_mid/to_k", _linear),
     "attn_joint_mid.to_v": ("attn_joint_mid/to_v", _linear),
     "attn_joint_mid.to_out.0": ("attn_joint_mid/to_out_0", _linear),
+    # Era3D row-wise multiview attention
+    # (transformer_mv2d_self_rowwise.py:471-486)
+    "norm_mv": ("norm_mv", _norm),
+    "attn_mv.to_q": ("attn_mv/to_q", _linear),
+    "attn_mv.to_k": ("attn_mv/to_k", _linear),
+    "attn_mv.to_v": ("attn_mv/to_v", _linear),
+    "attn_mv.to_out.0": ("attn_mv/to_out_0", _linear),
 }
 
 
@@ -258,7 +265,11 @@ def unet_config_from_json(cfg: dict, **overrides):
         # multiview-UNet variants (Wonder3D/Era3D UNetMV2DConditionModel)
         mv_views=cfg.get("num_views", 1)
         if cfg.get("multiview_attention", False) else 1,
-        cd_joint=bool(cfg.get("cd_attention_mid", False)),
+        # cd pairing: Wonder3D's attn_joint_mid (cd_attention_mid) or
+        # Era3D's joint attn1 (mvcd_attention with rowwise blocks)
+        cd_joint=bool(cfg.get("cd_attention_mid", False))
+        or (bool(cfg.get("mvcd_attention", False))
+            and cfg.get("selfattn_block", "") == "self_rowwise"),
         # Era3D row-wise self-attention blocks
         # (selfattn_block="self_rowwise" in MacLab-Era3D configs)
         mv_rowwise=cfg.get("selfattn_block", "") == "self_rowwise",

@@ -167,22 +167,35 @@ class TransformerBlock(nn.Module):
         attn1 = CrossAttention(self.dim, self.heads, self.dim_head,
                                name="attn1")
         if self.mv_rowwise:
-            # "(b v) (h w) c -> (b h) (v w) c": every token attends
-            # within its image row across all views
+            # Era3D self_rowwise block (transformer_mv2d_self_rowwise.py
+            # :432-605): attn1 is per-frame cross-domain joint
+            # self-attention (JointAttnProcessor: kv = both domains'
+            # tokens of the same view), then a SEPARATE attn_mv/norm_mv
+            # does row-wise attention across views within each domain
+            # (MVAttnProcessor "(b v) (h w) -> (b h) (v w)").
             b, t, c0 = h.shape
+            if self.cd_joint:
+                half = b // 2
+                pair = jnp.concatenate([h[:half], h[half:]], axis=1)
+                kv = jnp.concatenate([pair, pair], axis=0)
+                x = x + attn1(h, context=kv)
+            else:
+                x = x + attn1(h)
+            hmv = nn.LayerNorm(name="norm_mv")(x)
             v = self.mv_views
             hh = self.spatial_h
             ww = t // hh
-            hr = h.reshape(b // v, v, hh, ww, c0)
+            hr = hmv.reshape(b // v, v, hh, ww, c0)
             hr = hr.transpose(0, 2, 1, 3, 4).reshape(
                 (b // v) * hh, v * ww, c0)
-            out = attn1(hr)
+            out = CrossAttention(self.dim, self.heads, self.dim_head,
+                                 name="attn_mv")(hr)
             out = out.reshape(b // v, hh, v, ww, c0)
             out = out.transpose(0, 2, 1, 3, 4).reshape(b, t, c0)
             x = x + out
         else:
             x = x + attn1(h, extra_kv=extra)
-        if self.cd_joint:
+        if self.cd_joint and not self.mv_rowwise:
             # Wonder3D cd_attention_mid (transformer_mv2d.py:509-526,
             # JointAttnProcessor:909-961): per frame, kv = that frame's
             # tokens from BOTH domains; batch is domain-major [2, B, V].
@@ -289,7 +302,7 @@ class UNet2DCondition(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  ref_mode=None, ref_hidden=None,
                  class_emb=None, down_residuals=None, mid_residual=None,
-                 adapter_residuals=None, mv_views=None):
+                 adapter_residuals=None, mv_views=None, pose_hook=None):
         """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
         [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
         written ref-hidden dict when ref_mode == 'write').
@@ -386,6 +399,16 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_1")(h, temb)
         if mid_residual is not None:
             h = h + mid_residual
+        if pose_hook is not None:
+            # Era3D in-network pose regression (unet_mv2d_condition.py:
+            # 1162-1192): predict elevation/focal from pooled mid
+            # features, re-condition the up path's time embedding
+            new_temb, pose_aux = pose_hook(jax.lax.stop_gradient(h),
+                                           temb)
+            if new_temb is not None:
+                temb = new_temb
+            if pose_aux is not None:
+                written["pose_aux"] = pose_aux
 
         # up
         rev_channels = list(reversed(c.block_out_channels))

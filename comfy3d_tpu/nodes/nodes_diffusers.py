@@ -58,8 +58,10 @@ def _zero123plus(ckpt_dir=None):
     return Zero123PlusPipeline.init_random()
 
 
-def _era3d():
+def _era3d(ckpt_dir=None):
     from ..models.era3d import Era3DPipeline
+    if ckpt_dir:
+        return Era3DPipeline.from_pretrained(ckpt_dir)
     return Era3DPipeline.init_random()
 
 

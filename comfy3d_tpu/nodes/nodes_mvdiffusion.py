@@ -9,6 +9,15 @@ from . import base
 from .base import register
 
 
+def _local_ckpt(repo_id: str):
+    """Local-first checkpoint lookup under Checkpoints/Diffusers/<repo>
+    (reference shared_utils/common_utils.py:73-82 role)."""
+    import os
+    from .nodes_diffusers import CKPT_DIFFUSERS_PATH, _has_weights
+    cand = os.path.join(CKPT_DIFFUSERS_PATH, repo_id)
+    return cand if _has_weights(cand) else None
+
+
 def _composite(reference_image, reference_mask):
     import jax.numpy as jnp
     from ..core import image as img_utils
@@ -37,6 +46,10 @@ class Load_Wonder3D_Pipeline:
 
     def load(self, repo_id="flamehaze1115/wonder3d-v1.0"):
         from ..models.wonder3d import Wonder3DPipeline
+        ckpt = _local_ckpt(repo_id)
+        if ckpt:
+            print(f"[Load_Wonder3D_Pipeline] loading {ckpt}")
+            return (Wonder3DPipeline.from_pretrained(ckpt),)
         print(f"[Load_Wonder3D_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
         return (Wonder3DPipeline.init_random(),)
@@ -96,6 +109,10 @@ class Load_Era3D_Pipeline:
 
     def load(self, repo_id="pengHTYX/MacLab-Era3D-512-6view"):
         from ..models.era3d import Era3DPipeline
+        ckpt = _local_ckpt(repo_id)
+        if ckpt:
+            print(f"[Load_Era3D_Pipeline] loading {ckpt}")
+            return (Era3DPipeline.from_pretrained(ckpt),)
         print(f"[Load_Era3D_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
         return (Era3DPipeline.init_random(),)

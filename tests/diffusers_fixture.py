@@ -36,7 +36,7 @@ def enumerate_unet_keys(down_block_types, up_block_types,
                         block_out_channels,
                         layers_per_block=2, use_linear_projection=True,
                         transformer_layers_per_block=1,
-                        cd_joint=False):
+                        cd_joint=False, mv_rowwise=False):
     """Key layout of diffusers UNet2DConditionModel state dicts
     (the layout `models.diffusion.convert.unet_rules` consumes).
     `cd_joint` adds Wonder3D's per-transformer-block cross-domain
@@ -70,12 +70,18 @@ def enumerate_unet_keys(down_block_types, up_block_types,
             _wb(tb + ".norm3", "raw", keys)
             _wb(tb + ".ff.net.0.proj", "linear", keys)
             _wb(tb + ".ff.net.2", "linear", keys)
-            if cd_joint:
+            if cd_joint and not mv_rowwise:
                 for p in ("to_q", "to_k", "to_v"):
                     keys.append((f"{tb}.attn_joint_mid.{p}.weight",
                                  "linear"))
                 _wb(f"{tb}.attn_joint_mid.to_out.0", "linear", keys)
                 _wb(tb + ".norm_joint_mid", "raw", keys)
+            if mv_rowwise:
+                # Era3D self_rowwise: separate row-wise mv attention
+                for p in ("to_q", "to_k", "to_v"):
+                    keys.append((f"{tb}.attn_mv.{p}.weight", "linear"))
+                _wb(f"{tb}.attn_mv.to_out.0", "linear", keys)
+                _wb(tb + ".norm_mv", "raw", keys)
         _wb(base + ".proj_out", proj_kind, keys)
 
     n = len(down_block_types)

@@ -1,0 +1,172 @@
+"""Era3D `from_pretrained` against a fabricated checkpoint.
+
+Fabricates the pengHTYX/MacLab-Era3D-512-6view layout: UNet with
+row-wise attn_mv/norm_mv, unCLIP projection class embedding, camera
+embedding, and elevation/focal ResidualLiner regressors inside the unet
+state dict; AutoencoderKL; CLIPVisionModelWithProjection image encoder;
+StableUnCLIPImageNormalizer stats; fixed per-view prompt embeddings.
+Checks key bijection over the core unet and a 2-step run through the
+full unclip conditioning + in-network pose regression path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import diffusers_fixture as fx
+
+V = 2   # tiny view count
+
+UNET_CFG = {
+    "_class_name": "UNetMV2DConditionModel",
+    "in_channels": 8, "out_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "cross_attention_dim": 16, "attention_head_dim": [2, 2],
+    "norm_num_groups": 4, "use_linear_projection": True,
+    "down_block_types": ["CrossAttnDownBlockMV2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "CrossAttnUpBlockMV2D"],
+    "num_views": V, "multiview_attention": True,
+    "mvcd_attention": True, "selfattn_block": "self_rowwise",
+    "cd_attention_mid": False, "class_embed_type": "projection",
+    "projection_class_embeddings_input_dim": 24,
+    "projection_camera_embeddings_input_dim": 4,
+    "regress_elevation": True, "regress_focal_length": True,
+    "num_regress_blocks": 2, "sample_size": 4,
+}
+VAE_CFG = {
+    "in_channels": 3, "latent_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "norm_num_groups": 4, "scaling_factor": 0.18215,
+}
+VISION_CFG = {
+    "architectures": ["CLIPVisionModelWithProjection"],
+    "hidden_size": 8, "num_hidden_layers": 2,
+    "num_attention_heads": 2, "intermediate_size": 16,
+    "image_size": 28, "patch_size": 14, "projection_dim": 12,
+    "hidden_act": "gelu",
+}
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from safetensors.numpy import save_file
+
+    from comfy3d_tpu.models.clip import (CLIPVisionConfig,
+                                         CLIPVisionEncoder, clip_rules)
+    from comfy3d_tpu.models.diffusion import convert as dconv
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    from comfy3d_tpu.models.diffusion.vae import AutoencoderKL
+    from comfy3d_tpu.models.era3d.pipeline import (ResidualLiner,
+                                                   TimestepEmbedMLP)
+
+    root = tmp_path_factory.mktemp("era3d")
+    rng = np.random.default_rng(0)
+
+    ucfg = dconv.unet_config_from_json(UNET_CFG)
+    assert ucfg.mv_rowwise and ucfg.cd_joint and ucfg.mv_views == V
+    nf = 4 * V
+    unet = UNet2DCondition(ucfg)
+    uparams = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((nf, 4, 4, 8)),
+        jnp.zeros((nf,)), jnp.zeros((nf, 3, 16)),
+        class_emb=jnp.zeros((nf, 32)))["params"]
+    keys = fx.enumerate_unet_keys(
+        UNET_CFG["down_block_types"], UNET_CFG["up_block_types"],
+        UNET_CFG["block_out_channels"], UNET_CFG["layers_per_block"],
+        mv_rowwise=True)
+    sd = fx.fabricate_state_dict(keys, dconv.unet_rules(), uparams, rng)
+
+    def add_linear(name, tree, lin):
+        sd[f"{name}.weight"] = np.ascontiguousarray(
+            np.asarray(tree[lin]["kernel"]).T)
+        sd[f"{name}.bias"] = np.asarray(tree[lin]["bias"])
+
+    cm = TimestepEmbedMLP(32).init(jax.random.PRNGKey(4),
+                                   jnp.zeros((1, 24)))["params"]
+    add_linear("class_embedding.linear_1", cm, "linear_1")
+    add_linear("class_embedding.linear_2", cm, "linear_2")
+    cam = TimestepEmbedMLP(32).init(jax.random.PRNGKey(5),
+                                    jnp.zeros((1, 4)))["params"]
+    add_linear("camera_embedding.linear_1", cam, "linear_1")
+    add_linear("camera_embedding.linear_2", cam, "linear_2")
+    for name, seed in (("elevation_regressor", 6),
+                       ("focal_regressor", 7)):
+        reg = ResidualLiner(1, 1280, 2).init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 32)))["params"]
+        sd[f"{name}.linear_in.0.weight"] = np.ascontiguousarray(
+            np.asarray(reg["linear_in_0"]["kernel"]).T)
+        sd[f"{name}.linear_in.0.bias"] = np.asarray(
+            reg["linear_in_0"]["bias"])
+        for i in range(2):
+            for lin in ("linear1", "linear2"):
+                sd[f"{name}.blocks.{i}.{lin}.weight"] = \
+                    np.ascontiguousarray(np.asarray(
+                        reg[f"blocks_{i}_{lin}"]["kernel"]).T)
+                sd[f"{name}.blocks.{i}.{lin}.bias"] = np.asarray(
+                    reg[f"blocks_{i}_{lin}"]["bias"])
+        sd[f"{name}.linear_out.weight"] = np.ascontiguousarray(
+            np.asarray(reg["linear_out"]["kernel"]).T)
+        sd[f"{name}.linear_out.bias"] = np.asarray(
+            reg["linear_out"]["bias"])
+    fx.write_component(os.path.join(root, "unet"), UNET_CFG, sd)
+
+    vcfg = dconv.vae_config_from_json(VAE_CFG)
+    vparams = AutoencoderKL(vcfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))["params"]
+    sd = fx.fabricate_state_dict(
+        fx.enumerate_vae_keys(VAE_CFG["block_out_channels"], 1),
+        dconv.vae_rules(), vparams, rng)
+    fx.write_component(os.path.join(root, "vae"), VAE_CFG, sd)
+
+    vscfg = CLIPVisionConfig(hidden=8, layers=2, heads=2, mlp_dim=16,
+                             image_size=28, patch=14, projection_dim=12,
+                             act="gelu")
+    vsparams = CLIPVisionEncoder(vscfg).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 28, 28, 3)))["params"]
+    sd = fx.fabricate_state_dict(fx.enumerate_clip_keys(2, True),
+                                 clip_rules(), vsparams, rng)
+    fx.write_component(os.path.join(root, "image_encoder"),
+                       VISION_CFG, sd, weights_name="model.safetensors")
+
+    # normalizer stats + noising scheduler + fixed prompt embeds
+    nz = os.path.join(root, "image_normalizer")
+    os.makedirs(nz)
+    json.dump({"_class_name": "StableUnCLIPImageNormalizer",
+               "embedding_dim": 12},
+              open(os.path.join(nz, "config.json"), "w"))
+    save_file({"mean": rng.standard_normal((1, 12)).astype(np.float32),
+               "std": (1 + rng.random((1, 12))).astype(np.float32)},
+              os.path.join(nz, "diffusion_pytorch_model.safetensors"))
+    ns = os.path.join(root, "image_noising_scheduler")
+    os.makedirs(ns)
+    json.dump({"_class_name": "DDPMScheduler",
+               "num_train_timesteps": 1000,
+               "beta_schedule": "squaredcos_cap_v2"},
+              open(os.path.join(ns, "scheduler_config.json"), "w"))
+    pe = os.path.join(root, "fixed_prompt_embeds_6view")
+    os.makedirs(pe)
+    torch.save(torch.randn(V, 3, 16), os.path.join(pe,
+                                                   "normal_embeds.pt"))
+    torch.save(torch.randn(V, 3, 16), os.path.join(pe, "clr_embeds.pt"))
+    return str(root)
+
+
+def test_from_pretrained_runs(ckpt_dir):
+    from comfy3d_tpu.models.era3d import Era3DPipeline
+    pipe = Era3DPipeline.from_pretrained(
+        ckpt_dir, image_size=16, prompt_tokens=3, clip_embed_dim=12)
+    assert pipe.vision_encoder is not None
+    assert pipe.prompt_embeds.shape == (2 * V, 3, 16)
+    assert pipe.normalizer_std.shape == (12,)
+    assert "elevation_reg" in pipe.params
+    img = np.random.default_rng(1).random((16, 16, 3), np.float32)
+    colors, normals = pipe(img, num_inference_steps=2,
+                           guidance_scale=2.0)
+    colors = np.asarray(colors)
+    assert colors.shape == (V, 16, 16, 3)
+    assert np.isfinite(colors).all()
+    assert np.isfinite(np.asarray(normals)).all()
