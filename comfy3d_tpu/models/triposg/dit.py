@@ -43,11 +43,14 @@ class _Attn(nn.Module):
     kv_dim: int | None = None
     qkv_bias: bool = False
     qk_norm: bool = True
+    norm_cross: bool = False     # diffusers cross_attention_norm="layer_norm"
 
     @nn.compact
     def __call__(self, x, context=None):
         hd = self.dim // self.heads
         ctx = x if context is None else context
+        if self.norm_cross:
+            ctx = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(ctx)
         b, nq, _ = x.shape
         nk = ctx.shape[1]
         q = nn.Dense(self.dim, use_bias=self.qkv_bias, name="to_q")(x)
@@ -67,22 +70,35 @@ class _Attn(nn.Module):
 
 
 class DiTBlock(nn.Module):
+    """Reference DiTBlock (triposg_transformer.py:129-371) — also the
+    block family of the TripoSG VAE encoder/decoder and PartCrafter,
+    which instantiate it without self- or cross-attention."""
+
     cfg: TripoSGDiTConfig
     skip: bool = False
+    self_attn: bool = True
+    cross_attn: bool = True
+    qk_norm: bool = True
+    cross_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, context, skip_x=None):
+    def __call__(self, x, context=None, skip_x=None):
         c = self.cfg
         if self.skip:
             # skip_concat_front=True, skip_norm_last=True quirk
             cat = jnp.concatenate([skip_x, x], axis=-1)
             x = nn.Dense(c.width, name="skip_linear")(cat)
             x = nn.LayerNorm(epsilon=1e-5, name="skip_norm")(x)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x + _Attn(c.width, c.heads, name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        x = x + _Attn(c.width, c.heads, c.cross_attention_dim,
-                      name="attn2")(h, context)
+        if self.self_attn:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+            x = x + _Attn(c.width, c.heads, qk_norm=self.qk_norm,
+                          name="attn1")(h)
+        if self.cross_attn:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+            x = x + _Attn(c.width, c.heads, c.cross_attention_dim,
+                          qk_norm=self.qk_norm,
+                          norm_cross=self.cross_norm,
+                          name="attn2")(h, context)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         inner = int(c.width * c.mlp_ratio)
         h = nn.gelu(nn.Dense(inner, name="ff_0")(h), approximate=False)
@@ -109,7 +125,9 @@ class TripoSGDiT(nn.Module):
         c = self.cfg
         n = x.shape[1]
         temb = _sinusoidal(t, c.width)
-        temb = nn.Dense(c.width, name="time_proj_linear_1")(temb)
+        # diffusers TimestepEmbedding(inner_dim, inner_dim*4,
+        # out_dim=inner_dim) — triposg_transformer.py:432-436
+        temb = nn.Dense(c.width * 4, name="time_proj_linear_1")(temb)
         temb = nn.Dense(c.width, name="time_proj_linear_2")(
             nn.gelu(temb, approximate=False))
         h = nn.Dense(c.width, name="proj_in")(x)

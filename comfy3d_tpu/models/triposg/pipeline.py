@@ -1,12 +1,12 @@
 """TripoSG: image → mesh via rectified-flow latent-set diffusion.
 
 Counterpart of `Gen_3D_Modules/TripoSG/pipelines/pipeline_triposg.py`:
-DINOv2 conditioning → UNet-skip DiT flow sampling (noise at σ=1,
-descending schedule, x ← x + (σ_next − σ)·v) → vecset VAE decode →
-dense SDF grid → marching tets. The VAE is the shared
-`models.vecset.ShapeVAE` (TripoSG's TripoSGVAEModel is the same
-latent-set autoencoder shape: post-quant linear → transformer →
-query cross-attention decoder)."""
+DINOv2 conditioning (encode_image:140-151, uncond = zeros) → UNet-skip
+DiT flow sampling (RectifiedFlowScheduler semantics,
+schedulers/scheduling_rectified_flow.py:160-210: σ shifted by
+s·σ/(1+(s−1)σ), t = 1000σ, x ← x + (σ_next − σ)·v) → TripoSG latent-set
+VAE (vae.py here) → SDF grid → marching tets.
+"""
 
 from __future__ import annotations
 
@@ -19,18 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
-from ..vecset import ShapeVAE, ShapeVAEConfig
 from ..vecset.vae import decode_volume, grid_to_mesh
 from .dit import TripoSGDiT, TripoSGDiTConfig
+from .vae import TripoSGVAE, TripoSGVAEConfig
 
 
 @dataclasses.dataclass(frozen=True)
 class TripoSGConfig:
     dit: TripoSGDiTConfig = TripoSGDiTConfig()
-    vae: ShapeVAEConfig = ShapeVAEConfig(num_latents=2048, embed_dim=64,
-                                         width=1024, heads=8,
-                                         num_decoder_layers=16,
-                                         scale_factor=1.0)
+    vae: TripoSGVAEConfig = TripoSGVAEConfig()
     cond: Dinov2Config = Dinov2Config(hidden=1024, layers=24, heads=16)
     image_size: int = 518
     num_steps: int = 50
@@ -42,9 +39,10 @@ class TripoSGConfig:
         return cls(
             dit=TripoSGDiTConfig(width=32, in_channels=8, num_layers=3,
                                  heads=2, cross_attention_dim=32),
-            vae=ShapeVAEConfig(num_latents=16, embed_dim=8, width=32,
-                               heads=2, num_decoder_layers=1,
-                               scale_factor=1.0),
+            vae=TripoSGVAEConfig(latent_channels=8, num_latents=16,
+                                 heads=2, width_encoder=16,
+                                 width_decoder=32, num_layers_encoder=1,
+                                 num_layers_decoder=1),
             cond=Dinov2Config(hidden=32, layers=1, heads=2, patch=14,
                               pretrain_image_size=28),
             image_size=28, num_steps=3)
@@ -54,7 +52,7 @@ class TripoSGPipeline:
     def __init__(self, params, cfg: TripoSGConfig):
         self.cfg = cfg
         self.dit = TripoSGDiT(cfg.dit)
-        self.vae = ShapeVAE(cfg.vae)
+        self.vae = TripoSGVAE(cfg.vae)
         self.cond_model = Dinov2(cfg.cond)
         self.params = params
 
@@ -65,18 +63,25 @@ class TripoSGPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(key, 3)
         s = cfg.image_size
-        nl, ed = cfg.vae.num_latents, cfg.vae.embed_dim
+        nl, ed = cfg.vae.num_latents, cfg.vae.latent_channels
         params = {
             "cond": Dinov2(cfg.cond).init(
                 k1, jnp.zeros((1, s, s, 3)))["params"],
             "dit": TripoSGDiT(cfg.dit).init(
-                k2, jnp.zeros((1, nl, ed)), jnp.zeros((1,)),
+                k2, jnp.zeros((1, nl, cfg.dit.in_channels)),
+                jnp.zeros((1,)),
                 jnp.zeros((1, 5, cfg.dit.cross_attention_dim)))["params"],
-            "vae": ShapeVAE(cfg.vae).init(
+            "vae": TripoSGVAE(cfg.vae).init(
                 k3, jnp.zeros((1, nl, ed)), jnp.zeros((1, 7, 3)),
-                method=ShapeVAE.init_all)["params"],
+                method=TripoSGVAE.init_all)["params"],
         }
         return cls(params, cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "TripoSGPipeline":
+        from .convert import load_triposg_dir
+        return load_triposg_dir(cls, path, **cfg_overrides)
 
     def encode_cond(self, image):
         c = self.cfg
@@ -119,21 +124,21 @@ class TripoSGPipeline:
         b = cond.shape[0] // 2
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
-            (b, c.vae.num_latents, c.vae.embed_dim))
+            (b, c.vae.num_latents, c.vae.latent_channels))
         gs = (guidance_scale if guidance_scale is not None
               else c.guidance_scale)
         return self._sample(self.params["dit"], cond, noise,
                             num_steps or c.num_steps, jnp.float32(gs))
 
     def latents_to_mesh(self, latents, octree_resolution: int = 256,
-                        bounds: float = 1.01, num_chunks: int = 65536):
+                        bounds: float = 1.005, num_chunks: int = 65536):
         c = self.cfg
         latents = latents / c.vae.scale_factor
         decoded = self.vae.apply({"params": self.params["vae"]}, latents)
 
         def q(params, dec, pts):
             return self.vae.apply({"params": params}, dec, pts,
-                                  method=ShapeVAE.query)
+                                  method=TripoSGVAE.query)
 
         grids = decode_volume(q, self.params["vae"], decoded,
                               octree_resolution=octree_resolution,

@@ -90,14 +90,15 @@ def _hunyuan_dit():
     return Hunyuan3DShapePipeline.init_random()
 
 
-def _triposg():
+def _triposg(ckpt_dir=None):
     from ..models.triposg import TripoSGPipeline
+    if ckpt_dir:
+        return TripoSGPipeline.from_pretrained(ckpt_dir)
     return TripoSGPipeline.init_random()
 
 
-def _triposg_scribble():
-    from ..models.triposg import TripoSGPipeline
-    pipe = TripoSGPipeline.init_random()
+def _triposg_scribble(ckpt_dir=None):
+    pipe = _triposg(ckpt_dir)
     pipe.is_scribble = True
     return pipe
 

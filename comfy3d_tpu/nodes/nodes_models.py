@@ -551,6 +551,11 @@ class Load_TripoSG_Pipeline:
 
     def load(self, repo_id="VAST-AI/TripoSG"):
         from ..models.triposg import TripoSGPipeline
+        from .nodes_mvdiffusion import _local_ckpt
+        ckpt = _local_ckpt(repo_id)
+        if ckpt:
+            print(f"[Load_TripoSG_Pipeline] loading {ckpt}")
+            return (TripoSGPipeline.from_pretrained(ckpt),)
         print(f"[Load_TripoSG_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
         return (TripoSGPipeline.init_random(),)

@@ -191,6 +191,203 @@ def install():
     dif_utils.torch_utils = dif_tu
     dif_utils.import_utils = dif_iu
 
+    # ---- functional diffusers pieces (numerics-exact re-creations of
+    # the handful of modules TripoSG/PartCrafter instantiate) ----
+    dif_utils.USE_PEFT_BACKEND = False
+    dif_utils.is_torch_version = lambda *a, **k: True
+    dif_utils.scale_lora_layers = lambda *a, **k: None
+    dif_utils.unscale_lora_layers = lambda *a, **k: None
+    dif_utils.deprecate = lambda *a, **k: None
+    dif_tu.maybe_allow_in_graph = lambda cls: cls
+    dif_au = _stub("diffusers.utils.accelerate_utils")
+    dif_au.apply_forward_hook = lambda fn: fn
+    dif_loaders = _stub("diffusers.loaders")
+    dif_loaders.PeftAdapterMixin = type("PeftAdapterMixin", (), {})
+    dif_loaders.FromOriginalModelMixin = type(
+        "FromOriginalModelMixin", (), {})
+
+    import torch.nn.functional as _F
+
+    class _FP32LayerNorm(torch.nn.LayerNorm):
+        def forward(self, x):
+            return _F.layer_norm(
+                x.float(), self.normalized_shape,
+                None if self.weight is None else self.weight.float(),
+                None if self.bias is None else self.bias.float(),
+                self.eps).to(x.dtype)
+
+    class _RMSNorm(torch.nn.Module):
+        def __init__(self, dim, eps=1e-6, elementwise_affine=True,
+                     bias=False):
+            super().__init__()
+            self.eps = eps
+            self.weight = torch.nn.Parameter(torch.ones(dim)) \
+                if elementwise_affine else None
+
+        def forward(self, x):
+            var = x.float().pow(2).mean(-1, keepdim=True)
+            x = (x.float() * torch.rsqrt(var + self.eps)).to(x.dtype)
+            return x if self.weight is None else x * self.weight
+
+    dif_norm = _stub("diffusers.models.normalization")
+    dif_norm.FP32LayerNorm = _FP32LayerNorm
+    dif_norm.LayerNorm = torch.nn.LayerNorm
+    dif_norm.RMSNorm = _RMSNorm
+    dif_norm.AdaLayerNormContinuous = type("AdaLayerNormContinuous",
+                                           (torch.nn.Module,), {})
+
+    class _GELUProj(torch.nn.Module):
+        def __init__(self, dim_in, dim_out, approximate="none", bias=True):
+            super().__init__()
+            self.proj = torch.nn.Linear(dim_in, dim_out, bias=bias)
+            self.approximate = approximate
+
+        def forward(self, x):
+            return _F.gelu(self.proj(x), approximate=self.approximate)
+
+    class _FeedForward(torch.nn.Module):
+        """diffusers.models.attention.FeedForward, activation 'gelu'."""
+
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu", final_dropout=False,
+                     inner_dim=None, bias=True):
+            super().__init__()
+            inner_dim = inner_dim or int(dim * mult)
+            dim_out = dim_out or dim
+            assert activation_fn in ("gelu", "gelu-approximate"), \
+                activation_fn
+            approx = "tanh" if activation_fn == "gelu-approximate" \
+                else "none"
+            self.net = torch.nn.ModuleList([
+                _GELUProj(dim, inner_dim, approx, bias),
+                torch.nn.Dropout(dropout),
+                torch.nn.Linear(inner_dim, dim_out, bias=bias)])
+
+        def forward(self, x):
+            for m in self.net:
+                x = m(x)
+            return x
+
+    dif_attn_mod = _stub("diffusers.models.attention")
+    dif_attn_mod.FeedForward = _FeedForward
+
+    class _Attention(torch.nn.Module):
+        """diffusers.models.attention_processor.Attention — only the
+        surface TripoSG-family processors touch."""
+
+        def __init__(self, query_dim, cross_attention_dim=None,
+                     heads=8, dim_head=64, dropout=0.0, bias=False,
+                     upcast_attention=False, upcast_softmax=False,
+                     cross_attention_norm=None, qk_norm=None, eps=1e-5,
+                     rescale_output_factor=1.0, residual_connection=False,
+                     out_bias=True, processor=None, out_dim=None,
+                     **unused):
+            super().__init__()
+            inner = (out_dim if out_dim is not None
+                     else dim_head * heads)
+            self.heads = heads
+            self.is_cross_attention = cross_attention_dim is not None
+            kv_dim = cross_attention_dim or query_dim
+            self.to_q = torch.nn.Linear(query_dim, inner, bias=bias)
+            self.to_k = torch.nn.Linear(kv_dim, inner, bias=bias)
+            self.to_v = torch.nn.Linear(kv_dim, inner, bias=bias)
+            self.to_out = torch.nn.ModuleList(
+                [torch.nn.Linear(inner, query_dim, bias=out_bias),
+                 torch.nn.Dropout(dropout)])
+            if qk_norm == "rms_norm":
+                self.norm_q = _RMSNorm(dim_head, eps=eps)
+                self.norm_k = _RMSNorm(dim_head, eps=eps)
+            else:
+                self.norm_q = self.norm_k = None
+            self.norm_cross = None
+            if cross_attention_norm == "layer_norm":
+                self.norm_cross = torch.nn.LayerNorm(kv_dim)
+            self.spatial_norm = None
+            self.group_norm = None
+            self.residual_connection = residual_connection
+            self.rescale_output_factor = rescale_output_factor
+            self.processor = processor
+
+        def norm_encoder_hidden_states(self, ehs):
+            return self.norm_cross(ehs)
+
+        def forward(self, hidden_states, encoder_hidden_states=None,
+                    attention_mask=None, **kwargs):
+            return self.processor(
+                self, hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask, **kwargs)
+
+    dif_ap = _stub("diffusers.models.attention_processor")
+    dif_ap.Attention = _Attention
+    dif_ap.AttentionProcessor = object
+    dif_models.attention = dif_attn_mod
+    dif_models.attention_processor = dif_ap
+    dif_models.normalization = dif_norm
+
+    def _get_timestep_embedding(timesteps, embedding_dim,
+                                flip_sin_to_cos=False,
+                                downscale_freq_shift=0.0, scale=1.0,
+                                max_period=10000):
+        import math
+        half = embedding_dim // 2
+        exponent = -math.log(max_period) * torch.arange(
+            half, dtype=torch.float32) / (half - downscale_freq_shift)
+        emb = timesteps.float()[:, None] * exponent.exp()[None]
+        emb = scale * emb
+        emb = torch.cat([emb.sin(), emb.cos()], dim=-1)
+        if flip_sin_to_cos:
+            emb = torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+        return emb
+
+    class _Timesteps(torch.nn.Module):
+        def __init__(self, num_channels, flip_sin_to_cos,
+                     downscale_freq_shift, scale=1.0):
+            super().__init__()
+            self.num_channels = num_channels
+            self.flip_sin_to_cos = flip_sin_to_cos
+            self.downscale_freq_shift = downscale_freq_shift
+            self.scale = scale
+
+        def forward(self, t):
+            return _get_timestep_embedding(
+                t, self.num_channels, self.flip_sin_to_cos,
+                self.downscale_freq_shift, self.scale)
+
+    class _TimestepEmbedding(torch.nn.Module):
+        def __init__(self, in_channels, time_embed_dim, act_fn="silu",
+                     out_dim=None, post_act_fn=None, cond_proj_dim=None,
+                     sample_proj_bias=True):
+            super().__init__()
+            self.linear_1 = torch.nn.Linear(in_channels, time_embed_dim,
+                                            sample_proj_bias)
+            self.act = {"silu": _F.silu,
+                        "gelu": _F.gelu,
+                        "mish": _F.mish}[act_fn]
+            self.linear_2 = torch.nn.Linear(
+                time_embed_dim, out_dim or time_embed_dim,
+                sample_proj_bias)
+
+        def forward(self, sample):
+            return self.linear_2(self.act(self.linear_1(sample)))
+
+    dif_emb = _stub("diffusers.models.embeddings")
+    dif_emb.Timesteps = _Timesteps
+    dif_emb.TimestepEmbedding = _TimestepEmbedding
+    dif_emb.GaussianFourierProjection = type(
+        "GaussianFourierProjection", (torch.nn.Module,), {})
+    dif_emb.get_timestep_embedding = _get_timestep_embedding
+    dif_emb.apply_rotary_emb = None
+    dif_models.embeddings = dif_emb
+
+    dif_mo = _stub("diffusers.models.modeling_outputs")
+    dif_mo.AutoencoderKLOutput = type(
+        "AutoencoderKLOutput", (BaseOutput,), {})
+    dif_ae = _stub("diffusers.models.autoencoders")
+    dif_ae_vae = _stub("diffusers.models.autoencoders.vae")
+    dif_ae_vae.DecoderOutput = type("DecoderOutput", (BaseOutput,), {})
+    dif_ae.vae = dif_ae_vae
+
     for name in ("pymeshlab", "pygltflib", "rembg", "skimage",
                  "skimage.measure", "tqdm.auto"):
         _stub(name)

@@ -1,0 +1,193 @@
+"""TripoSG parity vs the reference torch classes.
+
+Instantiates the actual `TripoSGDiTModel`
+(TripoSG/models/transformers/triposg_transformer.py:365) and
+`TripoSGVAEModel` (TripoSG/models/autoencoders/autoencoder_kl_triposg
+.py:219) at tiny configs, converts their randomly-initialized state
+dicts through models/triposg/convert.py, and checks forward outputs —
+including the head-major qkv re-split quirk of
+TripoSGAttnProcessor2_0 (attention_processor.py:244-255) and the
+skip_norm_last UNet-skip path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import refutil
+from comfy3d_tpu.models.triposg import TripoSGPipeline, TripoSGConfig
+from comfy3d_tpu.models.triposg.convert import convert_dit, convert_vae
+from comfy3d_tpu.models.triposg.dit import TripoSGDiT, TripoSGDiTConfig
+from comfy3d_tpu.models.triposg.vae import (TripoSGVAE, TripoSGVAEConfig,
+                                            freq_embed)
+
+torch = pytest.importorskip("torch")
+
+HEADS = 2
+WIDTH = 32
+
+
+@pytest.fixture(autouse=True)
+def _f32():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
+def test_dit_parity():
+    refutil.install()
+    from TripoSG.models.transformers.triposg_transformer import \
+        TripoSGDiTModel
+
+    torch.manual_seed(0)
+    ref = TripoSGDiTModel(num_attention_heads=HEADS, width=WIDTH,
+                          in_channels=8, num_layers=3,
+                          cross_attention_dim=16).eval()
+    x = torch.randn(2, 5, 8)
+    t = torch.tensor([700.0, 700.0])
+    c = torch.randn(2, 4, 16)
+    with torch.no_grad():
+        want = ref(x, t, encoder_hidden_states=c,
+                   return_dict=False)[0].numpy()
+
+    cfg = TripoSGDiTConfig(width=WIDTH, in_channels=8, num_layers=3,
+                           heads=HEADS, cross_attention_dim=16)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_dit(sd, heads=HEADS)
+    got = TripoSGDiT(cfg).apply(
+        {"params": params}, jnp.asarray(x.numpy()),
+        jnp.asarray(t.numpy()), jnp.asarray(c.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_vae_decode_query_parity():
+    refutil.install()
+    from TripoSG.models.autoencoders.autoencoder_kl_triposg import \
+        TripoSGVAEModel
+
+    torch.manual_seed(1)
+    ref = TripoSGVAEModel(latent_channels=4, num_attention_heads=HEADS,
+                          width_encoder=16, width_decoder=WIDTH,
+                          num_layers_encoder=1, num_layers_decoder=2,
+                          embed_frequency=8,
+                          embed_include_pi=False).eval()
+    z = torch.randn(1, 6, 4)
+    pts = torch.rand(1, 11, 3) * 2 - 1
+    with torch.no_grad():
+        want = ref.decode(z, sampled_points=pts,
+                          return_dict=False)[0].numpy()[..., 0]
+
+    cfg = TripoSGVAEConfig(latent_channels=4, heads=HEADS,
+                           width_encoder=16, width_decoder=WIDTH,
+                           num_layers_encoder=1, num_layers_decoder=2,
+                           num_freqs=8, include_pi=False)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_vae(sd, heads=HEADS, num_layers_decoder=2)
+    vae = TripoSGVAE(cfg)
+    decoded = vae.apply({"params": params}, jnp.asarray(z.numpy()))
+    got = vae.apply({"params": params}, decoded,
+                    jnp.asarray(pts.numpy()), method=TripoSGVAE.query)
+    # reference flips the sign at autoencoder_kl_triposg.py:214 and so
+    # do we — compare directly
+    np.testing.assert_allclose(np.asarray(got), want,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_vae_encode_parity():
+    refutil.install()
+    from TripoSG.models.autoencoders.autoencoder_kl_triposg import \
+        TripoSGVAEModel
+
+    torch.manual_seed(2)
+    ref = TripoSGVAEModel(latent_channels=4, num_attention_heads=HEADS,
+                          width_encoder=16, width_decoder=WIDTH,
+                          num_layers_encoder=1, num_layers_decoder=2,
+                          embed_frequency=8,
+                          embed_include_pi=False).eval()
+    # feed pre-embedded tokens through encoder directly (the FPS token
+    # selection in _sample_features is host-side and out of scope)
+    pos_q = torch.rand(1, 5, 3) * 2 - 1
+    pos_kv = torch.rand(1, 9, 3) * 2 - 1
+    feat_q, feat_kv = torch.randn(1, 5, 3), torch.randn(1, 9, 3)
+    with torch.no_grad():
+        x_q = torch.cat([ref.embedder(pos_q), feat_q], dim=-1)
+        x_kv = torch.cat([ref.embedder(pos_kv), feat_kv], dim=-1)
+        want = ref.quant(ref.encoder(x_q, x_kv)).numpy()
+
+    cfg = TripoSGVAEConfig(latent_channels=4, heads=HEADS,
+                           width_encoder=16, width_decoder=WIDTH,
+                           num_layers_encoder=1, num_layers_decoder=2,
+                           num_freqs=8, include_pi=False)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_vae(sd, heads=HEADS, num_layers_decoder=2)
+    xq = jnp.concatenate([freq_embed(jnp.asarray(pos_q.numpy())),
+                          jnp.asarray(feat_q.numpy())], axis=-1)
+    xkv = jnp.concatenate([freq_embed(jnp.asarray(pos_kv.numpy())),
+                           jnp.asarray(feat_kv.numpy())], axis=-1)
+    got = TripoSGVAE(cfg).apply({"params": params}, xq, xkv,
+                                method=TripoSGVAE.encode)
+    np.testing.assert_allclose(np.asarray(got), want,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tiny_pipeline_runs():
+    pipe = TripoSGPipeline.init_random(cfg=TripoSGConfig.tiny())
+    img = np.random.default_rng(0).random((28, 28, 3), np.float32)
+    meshes = pipe(img, num_steps=2, octree_resolution=16,
+                  num_chunks=4096)
+    assert len(meshes) == 1
+
+
+def test_from_pretrained(tmp_path):
+    """Fabricate the VAST-AI/TripoSG repo layout from tiny reference
+    torch modules and load it end-to-end."""
+    refutil.install()
+    from diffusers_fixture import write_component
+    from transformers import Dinov2Config as HFDinoCfg, Dinov2Model
+    from TripoSG.models.autoencoders.autoencoder_kl_triposg import \
+        TripoSGVAEModel
+    from TripoSG.models.transformers.triposg_transformer import \
+        TripoSGDiTModel
+
+    torch.manual_seed(3)
+    dit = TripoSGDiTModel(num_attention_heads=HEADS, width=WIDTH,
+                          in_channels=8, num_layers=3,
+                          cross_attention_dim=16)
+    write_component(
+        str(tmp_path / "transformer"),
+        {"num_attention_heads": HEADS, "width": WIDTH,
+         "in_channels": 8, "num_layers": 3, "cross_attention_dim": 16},
+        {k: v.numpy() for k, v in dit.state_dict().items()})
+    vae = TripoSGVAEModel(latent_channels=8, num_attention_heads=HEADS,
+                          width_encoder=16, width_decoder=WIDTH,
+                          num_layers_encoder=1, num_layers_decoder=2,
+                          embed_frequency=8, embed_include_pi=False)
+    write_component(
+        str(tmp_path / "vae"),
+        {"latent_channels": 8, "num_attention_heads": HEADS,
+         "width_encoder": 16, "width_decoder": WIDTH,
+         "num_layers_encoder": 1, "num_layers_decoder": 2,
+         "embed_frequency": 8, "embed_include_pi": False},
+        {k: v.numpy() for k, v in vae.state_dict().items()})
+    dino = Dinov2Model(HFDinoCfg(
+        hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        mlp_ratio=4, image_size=28, patch_size=14))
+    write_component(
+        str(tmp_path / "image_encoder_dinov2"),
+        {"hidden_size": 16, "num_hidden_layers": 1,
+         "num_attention_heads": 2, "patch_size": 14, "image_size": 28},
+        {k: v.numpy() for k, v in dino.state_dict().items()},
+        weights_name="model.safetensors")
+
+    pipe = TripoSGPipeline.from_pretrained(
+        str(tmp_path),
+        dit=TripoSGDiTConfig(width=WIDTH, in_channels=8, num_layers=3,
+                             heads=HEADS, cross_attention_dim=16))
+    assert pipe.cfg.vae.width_decoder == WIDTH
+    assert pipe.cfg.cond.hidden == 16
+    img = np.random.default_rng(1).random((28, 28, 3), np.float32)
+    meshes = pipe(img, num_steps=2, octree_resolution=16,
+                  num_chunks=4096)
+    assert len(meshes) == 1
