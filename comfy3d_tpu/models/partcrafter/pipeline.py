@@ -5,8 +5,8 @@ Counterpart of `Gen_3D_Modules/PartCrafter/partcrafter_src/`
 `models/transformers/partcrafter_transformer.py:131,326`): the TripoSG
 DiT block family with a part axis — learned part embeddings, per-part
 local self-attention, and global cross-part attention at selected
-blocks; the VAE is the shared vecset ShapeVAE (PartCrafter's autoencoder
-is TripoSG-derived).
+blocks; the VAE is the TripoSG latent-set VAE (PartCrafter's
+autoencoder_kl_triposg.py is the same module layout).
 
 TPU design: the part axis is just the batch axis of one static program —
 local blocks batch over parts, global blocks fold parts into the token
@@ -26,7 +26,7 @@ import numpy as np
 
 from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
 from ..triposg.dit import DiTBlock, TripoSGDiTConfig, _sinusoidal
-from ..vecset import ShapeVAE, ShapeVAEConfig
+from ..triposg.vae import TripoSGVAE, TripoSGVAEConfig
 from ..vecset.vae import decode_volume, grid_to_mesh
 
 
@@ -53,14 +53,21 @@ class PartCrafterDiT(nn.Module):
                               nn.initializers.normal(0.02),
                               (self.cfg.max_num_parts, c.width))
         temb = _sinusoidal(t, c.width)
-        temb = nn.Dense(c.width, name="time_proj_linear_1")(temb)
+        # TimestepEmbedding(inner, inner*4, out_dim=inner) — partcrafter
+        # _transformer.py:400-402
+        temb = nn.Dense(c.width * 4, name="time_proj_linear_1")(temb)
         temb = nn.Dense(c.width, name="time_proj_linear_2")(
             nn.gelu(temb, approximate=False))
         h = nn.Dense(c.width, name="proj_in")(x)
-        h = h + part_emb[part_ids][None, :, None, :]
         temb_tok = jnp.broadcast_to(temb[:, None, None, :],
                                     (b, p, 1, c.width))
         h = jnp.concatenate([temb_tok, h], axis=2)    # [B, P, N+1, W]
+        # part embedding is added to ALL tokens including the time token
+        # (partcrafter_transformer.py:671-686). Deviation from the
+        # reference's int-CFG path: we embed parts 0..P-1 in EVERY CFG
+        # stream (the training-time semantics of the tensor path) rather
+        # than arange(2P) across streams.
+        h = h + part_emb[part_ids][None, :, None, :]
         n1 = n + 1
         ctx_local = jnp.repeat(context, p, axis=0)    # [B·P, M, D]
         skips = []
@@ -89,10 +96,7 @@ class PartCrafterDiT(nn.Module):
 @dataclasses.dataclass(frozen=True)
 class PartCrafterConfig:
     dit: PartCrafterDiTConfig = PartCrafterDiTConfig()
-    vae: ShapeVAEConfig = ShapeVAEConfig(num_latents=512, embed_dim=64,
-                                         width=768, heads=12,
-                                         num_decoder_layers=12,
-                                         scale_factor=1.0)
+    vae: TripoSGVAEConfig = TripoSGVAEConfig(num_latents=512)
     cond: Dinov2Config = Dinov2Config(hidden=1024, layers=24, heads=16)
     image_size: int = 518
     num_steps: int = 50
@@ -107,9 +111,10 @@ class PartCrafterConfig:
                                       num_layers=5, heads=2,
                                       cross_attention_dim=32),
                 max_num_parts=8, global_attn_block_ids=(1, 3)),
-            vae=ShapeVAEConfig(num_latents=16, embed_dim=8, width=32,
-                               heads=2, num_decoder_layers=1,
-                               scale_factor=1.0),
+            vae=TripoSGVAEConfig(latent_channels=8, num_latents=16,
+                                 heads=2, width_encoder=16,
+                                 width_decoder=32, num_layers_encoder=1,
+                                 num_layers_decoder=1),
             cond=Dinov2Config(hidden=32, layers=1, heads=2, patch=14,
                               pretrain_image_size=28),
             image_size=28, num_steps=3)
@@ -119,7 +124,7 @@ class PartCrafterPipeline:
     def __init__(self, params, cfg: PartCrafterConfig):
         self.cfg = cfg
         self.dit = PartCrafterDiT(cfg.dit)
-        self.vae = ShapeVAE(cfg.vae)
+        self.vae = TripoSGVAE(cfg.vae)
         self.cond_model = Dinov2(cfg.cond)
         self.params = params
 
@@ -131,7 +136,7 @@ class PartCrafterPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(key, 3)
         s = cfg.image_size
-        nl, ed = cfg.vae.num_latents, cfg.vae.embed_dim
+        nl, ed = cfg.vae.num_latents, cfg.vae.latent_channels
         params = {
             "cond": Dinov2(cfg.cond).init(
                 k1, jnp.zeros((1, s, s, 3)))["params"],
@@ -139,11 +144,17 @@ class PartCrafterPipeline:
                 k2, jnp.zeros((1, 2, nl, ed)), jnp.zeros((1,)),
                 jnp.zeros((1, 5, cfg.dit.base.cross_attention_dim)),
                 jnp.zeros((2,), jnp.int32))["params"],
-            "vae": ShapeVAE(cfg.vae).init(
+            "vae": TripoSGVAE(cfg.vae).init(
                 k3, jnp.zeros((1, nl, ed)), jnp.zeros((1, 7, 3)),
-                method=ShapeVAE.init_all)["params"],
+                method=TripoSGVAE.init_all)["params"],
         }
         return cls(params, cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "PartCrafterPipeline":
+        from .convert import load_partcrafter_dir
+        return load_partcrafter_dir(cls, path, **cfg_overrides)
 
     def encode_cond(self, image):
         c = self.cfg
@@ -190,7 +201,7 @@ class PartCrafterPipeline:
         cond = self.encode_cond(image)
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
-            (num_parts, c.vae.num_latents, c.vae.embed_dim))
+            (num_parts, c.vae.num_latents, c.vae.latent_channels))
         gs = (guidance_scale if guidance_scale is not None
               else c.guidance_scale)
         latents = self._sample(self.params["dit"], cond, noise,
@@ -201,7 +212,7 @@ class PartCrafterPipeline:
 
         def q(params, dec, pts):
             return self.vae.apply({"params": params}, dec, pts,
-                                  method=ShapeVAE.query)
+                                  method=TripoSGVAE.query)
 
         grids = decode_volume(q, self.params["vae"], decoded,
                               octree_resolution=octree_resolution,

@@ -225,7 +225,7 @@ def load_triposg_dir(cls, path: str, **cfg_overrides):
         import jax.numpy as jnp
         from ..dinov2 import Dinov2
         s = cfg.image_size
-        params["cond"] = Dinov2(cond_cfg).init(
+        params["cond"] = Dinov2(cfg.cond).init(
             jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))["params"]
         print("[triposg.convert] no image_encoder_dinov2/ — random "
               "conditioner")

@@ -47,9 +47,15 @@ class _PartCrafterLoaderBase:
 
     def load(self):
         from ..models.partcrafter import PartCrafterPipeline
-        print(f"[{type(self).__name__}] initializing random weights "
-              f"(no local checkpoint for {self._REPO_ID})")
-        pipe = PartCrafterPipeline.init_random()
+        from .nodes_mvdiffusion import _local_ckpt
+        ckpt = _local_ckpt(self._REPO_ID)
+        if ckpt:
+            print(f"[{type(self).__name__}] loading {ckpt}")
+            pipe = PartCrafterPipeline.from_pretrained(ckpt)
+        else:
+            print(f"[{type(self).__name__}] initializing random weights "
+                  f"(no local checkpoint for {self._REPO_ID})")
+            pipe = PartCrafterPipeline.init_random()
         pipe.is_scene = self._SCENE
         return (pipe,)
 

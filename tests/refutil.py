@@ -187,6 +187,8 @@ def install():
     dif_iu = _stub("diffusers.utils.import_utils")
     dif_iu.is_accelerate_version = lambda *a, **k: False
     dif_iu.is_accelerate_available = lambda *a, **k: False
+    dif_iu.is_torch_npu_available = lambda *a, **k: False
+    dif_iu.is_xformers_available = lambda *a, **k: False
     dif.utils = dif_utils
     dif_utils.torch_utils = dif_tu
     dif_utils.import_utils = dif_iu
@@ -199,6 +201,7 @@ def install():
     dif_utils.unscale_lora_layers = lambda *a, **k: None
     dif_utils.deprecate = lambda *a, **k: None
     dif_tu.maybe_allow_in_graph = lambda cls: cls
+    dif_tu.is_torch_version = lambda *a, **k: True
     dif_au = _stub("diffusers.utils.accelerate_utils")
     dif_au.apply_forward_hook = lambda fn: fn
     dif_loaders = _stub("diffusers.loaders")
@@ -311,6 +314,12 @@ def install():
         def norm_encoder_hidden_states(self, ehs):
             return self.norm_cross(ehs)
 
+        def get_processor(self, *a, **k):
+            return self.processor
+
+        def set_processor(self, processor):
+            self.processor = processor
+
         def forward(self, hidden_states, encoder_hidden_states=None,
                     attention_mask=None, **kwargs):
             return self.processor(
@@ -399,6 +408,10 @@ def install():
     _stub("utils3d")
     _stub("igraph")
     _stub("pyvista")
+    p3d_ops = _stub("pytorch3d.ops")
+    p3d_ops.sample_farthest_points = None
+    _stub("pytorch3d").ops = p3d_ops
+    _stub("torch_cluster").fps = None
     tv = _stub("torchvision")
     tvt = _stub("torchvision.transforms")
     tv.transforms = tvt

@@ -1,0 +1,115 @@
+"""PartCrafter parity vs the reference torch classes.
+
+Runs the actual `PartCrafterDiTModel`
+(partcrafter_src/models/transformers/partcrafter_transformer.py:326)
+at a tiny config with global-attention blocks and int `num_parts`
+(the node path, reference nodes.py:5699-5701, without CFG so part
+embeddings are 0..P-1 in both frameworks), converts through
+models/partcrafter/convert.py, and compares the velocity field. The
+VAE is the TripoSG layout and is covered by test_parity_triposg."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import refutil
+from comfy3d_tpu.models.partcrafter import (PartCrafterConfig,
+                                            PartCrafterPipeline)
+from comfy3d_tpu.models.partcrafter.convert import convert_dit
+from comfy3d_tpu.models.partcrafter.pipeline import (PartCrafterDiT,
+                                                     PartCrafterDiTConfig)
+from comfy3d_tpu.models.triposg.dit import TripoSGDiTConfig
+
+torch = pytest.importorskip("torch")
+
+HEADS = 2
+WIDTH = 32
+PARTS = 3
+LAYERS = 5
+GLOBAL_IDS = (1, 3)
+
+
+@pytest.fixture(autouse=True)
+def _f32():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
+def test_dit_parity_with_global_blocks():
+    refutil.install()
+    from PartCrafter.partcrafter_src.models.transformers. \
+        partcrafter_transformer import PartCrafterDiTModel
+
+    torch.manual_seed(0)
+    ref = PartCrafterDiTModel(
+        num_attention_heads=HEADS, width=WIDTH, in_channels=8,
+        num_layers=LAYERS, cross_attention_dim=16, max_num_parts=8,
+        global_attn_block_ids=list(GLOBAL_IDS)).eval()
+    x = torch.randn(PARTS, 5, 8)          # one stream, P parts
+    t = torch.tensor([400.0] * PARTS)
+    ctx = torch.randn(1, 4, 16).repeat(PARTS, 1, 1)
+    with torch.no_grad():
+        want = ref(x, t, encoder_hidden_states=ctx,
+                   attention_kwargs={"num_parts": PARTS},
+                   return_dict=False)[0].numpy()
+
+    cfg = PartCrafterDiTConfig(
+        base=TripoSGDiTConfig(width=WIDTH, in_channels=8,
+                              num_layers=LAYERS, heads=HEADS,
+                              cross_attention_dim=16),
+        max_num_parts=8, global_attn_block_ids=GLOBAL_IDS)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_dit(sd, heads=HEADS)
+    got = PartCrafterDiT(cfg).apply(
+        {"params": params}, jnp.asarray(x.numpy())[None],
+        jnp.asarray(t.numpy()[:1]), jnp.asarray(ctx.numpy()[:1]),
+        jnp.arange(PARTS, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(got)[0], want,
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_from_pretrained(tmp_path):
+    refutil.install()
+    from diffusers_fixture import write_component
+    from PartCrafter.partcrafter_src.models.autoencoders. \
+        autoencoder_kl_triposg import TripoSGVAEModel
+    from PartCrafter.partcrafter_src.models.transformers. \
+        partcrafter_transformer import PartCrafterDiTModel
+
+    torch.manual_seed(1)
+    dit = PartCrafterDiTModel(
+        num_attention_heads=HEADS, width=WIDTH, in_channels=8,
+        num_layers=LAYERS, cross_attention_dim=16, max_num_parts=8,
+        global_attn_block_ids=list(GLOBAL_IDS))
+    write_component(
+        str(tmp_path / "transformer"),
+        {"num_attention_heads": HEADS, "width": WIDTH, "in_channels": 8,
+         "num_layers": LAYERS, "cross_attention_dim": 16,
+         "max_num_parts": 8, "global_attn_block_ids": list(GLOBAL_IDS)},
+        {k: v.numpy() for k, v in dit.state_dict().items()})
+    vae = TripoSGVAEModel(latent_channels=8, num_attention_heads=HEADS,
+                          width_encoder=16, width_decoder=WIDTH,
+                          num_layers_encoder=1, num_layers_decoder=2,
+                          embed_frequency=8, embed_include_pi=False)
+    write_component(
+        str(tmp_path / "vae"),
+        {"latent_channels": 8, "num_attention_heads": HEADS,
+         "width_encoder": 16, "width_decoder": WIDTH,
+         "num_layers_encoder": 1, "num_layers_decoder": 2,
+         "embed_frequency": 8, "embed_include_pi": False},
+        {k: v.numpy() for k, v in vae.state_dict().items()})
+
+    from comfy3d_tpu.models.dinov2 import Dinov2Config
+    pipe = PartCrafterPipeline.from_pretrained(
+        str(tmp_path),
+        cond=Dinov2Config(hidden=16, layers=1, heads=2, patch=14,
+                          pretrain_image_size=28),
+        image_size=28)
+    assert pipe.cfg.dit.global_attn_block_ids == GLOBAL_IDS
+    img = np.random.default_rng(0).random((28, 28, 3), np.float32)
+    meshes = pipe(img, num_parts=2, num_steps=2, octree_resolution=16,
+                  num_chunks=4096)
+    assert len(meshes) == 2
