@@ -55,6 +55,16 @@ class CLIPVisionConfig:
     projection_dim: int = 768
     eps: float = 1e-5
     act: str = "quick_gelu"      # openai CLIP; open_clip laion2b: "gelu"
+    modulation_dim: int = 0      # >0: Craftsman ConditionalCLIP camera
+                                 # ModLN (modeling_conditional_clip.py:42-61)
+
+
+def _modln(x, cond, dense):
+    """ModLN: x·(1+scale)+shift, (shift | scale) = Dense(silu(cond))
+    (modeling_conditional_clip.py:55-61 — shift first)."""
+    emb = dense(nn.silu(cond))
+    shift, scale = jnp.split(emb, 2, axis=-1)
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
 class CLIPBlock(nn.Module):
@@ -64,12 +74,16 @@ class CLIPBlock(nn.Module):
     eps: float = 1e-5
     causal: bool = False
     act: str = "quick_gelu"
+    modulated: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mod_cond=None):
         b, t, _ = x.shape
         hd = self.hidden // self.heads
         h = nn.LayerNorm(epsilon=self.eps, name="layer_norm1")(x)
+        if self.modulated:
+            h = _modln(h, mod_cond,
+                       nn.Dense(2 * self.hidden, name="mod_norm1"))
         q = nn.Dense(self.hidden, name="q_proj")(h)
         k = nn.Dense(self.hidden, name="k_proj")(h)
         v = nn.Dense(self.hidden, name="v_proj")(h)
@@ -83,6 +97,9 @@ class CLIPBlock(nn.Module):
         x = x + nn.Dense(self.hidden, name="out_proj")(
             attn.reshape(b, t, self.hidden))
         h = nn.LayerNorm(epsilon=self.eps, name="layer_norm2")(x)
+        if self.modulated:
+            h = _modln(h, mod_cond,
+                       nn.Dense(2 * self.hidden, name="mod_norm2"))
         h = nn.Dense(self.mlp_dim, name="fc1")(h)
         h = (quick_gelu(h) if self.act == "quick_gelu"
              else nn.gelu(h, approximate=False))
@@ -118,9 +135,10 @@ class CLIPVisionEncoder(nn.Module):
     cfg: CLIPVisionConfig = CLIPVisionConfig()
 
     @nn.compact
-    def __call__(self, images, project: bool = True):
+    def __call__(self, images, project: bool = True, mod_cond=None):
         """images [B, H, W, 3] CLIP-normalized → (tokens [B, 1+N, C],
-        image_embeds [B, P] if project)."""
+        image_embeds [B, P] if project). `mod_cond` [B, modulation_dim]
+        drives per-layer camera ModLN when cfg.modulation_dim > 0."""
         c = self.cfg
         b, h, w, _ = images.shape
         x = nn.Conv(c.hidden, (c.patch, c.patch),
@@ -140,7 +158,8 @@ class CLIPVisionEncoder(nn.Module):
             if i == c.layers - 1:
                 penult = x            # HF hidden_states[-2]
             x = CLIPBlock(c.hidden, c.heads, c.mlp_dim, c.eps,
-                          act=c.act, name=f"layers_{i}")(x)
+                          act=c.act, modulated=c.modulation_dim > 0,
+                          name=f"layers_{i}")(x, mod_cond)
         if project == "penultimate":
             # ImageDream conditioning: tokens entering the last layer,
             # un-normalized (pipeline_mvdream.py:413)
@@ -212,6 +231,11 @@ def clip_rules(prefix: str = "") -> Callable:
             "mlp.fc1.bias": ("fc1/bias", None),
             "mlp.fc2.weight": ("fc2/kernel", C.t_linear),
             "mlp.fc2.bias": ("fc2/bias", None),
+            # Craftsman ConditionalCLIP camera ModLN
+            "mod_norm1.mlp.1.weight": ("mod_norm1/kernel", C.t_linear),
+            "mod_norm1.mlp.1.bias": ("mod_norm1/bias", None),
+            "mod_norm2.mlp.1.weight": ("mod_norm2/kernel", C.t_linear),
+            "mod_norm2.mlp.1.bias": ("mod_norm2/bias", None),
         }
         if sub in m:
             path, fn = m[sub]

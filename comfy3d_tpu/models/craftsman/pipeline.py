@@ -69,11 +69,14 @@ class UNetDiffusionTransformer(nn.Module):
 
 
 class SimpleDenoiser(nn.Module):
-    """simple_denoiser.py:94-188: [t | context | latents] token stream."""
+    """simple_denoiser.py:94-188: [t | context | latents] token stream.
+    time_proj is the reference MLP (c_fc w→4w, exact gelu, c_proj 4w→w,
+    transformers/utils.py:8-21)."""
     cfg: DenoiserConfig
 
     @nn.compact
     def __call__(self, latents, t, context):
+        from ..vecset.blocks import VecMLP
         c = self.cfg
         n = latents.shape[1]
         half = c.width // 2
@@ -81,7 +84,7 @@ class SimpleDenoiser(nn.Module):
                         * jnp.arange(half, dtype=jnp.float32) / half)
         args = t.astype(jnp.float32)[:, None] * freqs[None]
         temb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], -1)
-        temb = nn.Dense(c.width, name="time_embed")(temb)[:, None, :]
+        temb = VecMLP(c.width, name="time_proj")(temb)[:, None, :]
         ctx = nn.LayerNorm(name="context_ln")(context)
         ctx = nn.Dense(c.width, name="context_embed")(ctx)
         x = nn.Dense(c.width, name="input_proj")(latents)
@@ -91,15 +94,32 @@ class SimpleDenoiser(nn.Module):
         return nn.Dense(c.input_channels, name="output_proj")(x[:, -n:])
 
 
+# the fixed orbit cameras of BaseEmbedder (conditional_encoders/
+# base.py:41-66): front/right/back/left c2w at distance 1
+CRAFTSMAN_CAMERAS = np.array([
+    [[1, 0, 0, 0], [0, 0, -1, -1], [0, 1, 0, 0], [0, 0, 0, 1]],
+    [[0, 0, 1, 1], [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    [[-1, 0, 0, 0], [0, 0, 1, 1], [0, 1, 0, 0], [0, 0, 0, 1]],
+    [[0, 0, -1, -1], [-1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+], np.float32)
+
+
+def encode_camera(c2ws):
+    """sincos camera embedding (base.py:74-80): [V,4,4] → [V,32]."""
+    flat = jnp.asarray(c2ws, jnp.float32).reshape(-1, 16)
+    return jnp.concatenate([jnp.sin(flat), jnp.cos(flat)], axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class CraftsmanConfig:
     denoiser: DenoiserConfig = DenoiserConfig()
     vae: ShapeVAEConfig = ShapeVAEConfig(num_latents=256, embed_dim=64,
                                          width=768, heads=12,
                                          num_decoder_layers=16,
-                                         qkv_bias=False,
+                                         qkv_bias=False, num_freqs=8,
+                                         include_pi=False,
                                          scale_factor=1.0)
-    cond: CLIPVisionConfig = CLIPVisionConfig()   # clip-vit-large-p14
+    cond: CLIPVisionConfig = CLIPVisionConfig(modulation_dim=32)
     scheduler: SchedulerConfig = SchedulerConfig(
         beta_start=0.00085, beta_end=0.012,
         beta_schedule="scaled_linear", prediction_type="epsilon")
@@ -111,13 +131,14 @@ class CraftsmanConfig:
     def tiny(cls) -> "CraftsmanConfig":
         return cls(
             denoiser=DenoiserConfig(input_channels=8, n_ctx=16, width=32,
-                                    layers=1, heads=2, context_dim=24),
+                                    layers=1, heads=2, context_dim=32),
             vae=ShapeVAEConfig(num_latents=16, embed_dim=8, width=32,
                                heads=2, num_decoder_layers=1,
-                               qkv_bias=False, scale_factor=1.0),
+                               qkv_bias=False, num_freqs=8,
+                               include_pi=False, scale_factor=1.0),
             cond=CLIPVisionConfig(hidden=32, layers=1, heads=2,
                                   mlp_dim=64, image_size=28, patch=14,
-                                  projection_dim=24),
+                                  projection_dim=24, modulation_dim=32),
             num_steps=3, n_views=2)
 
 
@@ -137,9 +158,11 @@ class CraftsmanPipeline:
         k1, k2, k3 = jax.random.split(key, 3)
         s = cfg.cond.image_size
         nl, ed = cfg.vae.num_latents, cfg.vae.embed_dim
+        mod = (jnp.zeros((1, cfg.cond.modulation_dim))
+               if cfg.cond.modulation_dim else None)
         params = {
             "cond": CLIPVisionEncoder(cfg.cond).init(
-                k1, jnp.zeros((1, s, s, 3)))["params"],
+                k1, jnp.zeros((1, s, s, 3)), mod_cond=mod)["params"],
             "denoiser": SimpleDenoiser(cfg.denoiser).init(
                 k2, jnp.zeros((1, nl, ed)), jnp.zeros((1,)),
                 jnp.zeros((1, cfg.n_views,
@@ -150,9 +173,16 @@ class CraftsmanPipeline:
         }
         return cls(params, cfg)
 
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "CraftsmanPipeline":
+        from .convert import load_craftsman_ckpt
+        return load_craftsman_ckpt(cls, path, **cfg_overrides)
+
     def encode_cond(self, images):
-        """images [V, H, W, 3] in [0,1] → context [1, V, D] (per-view
-        CLIP projected embeddings, mvrgb conditioning)."""
+        """images [V, H, W, 3] in [0,1] → context [1, V·(1+N), D]: all
+        CLIP tokens of every view, camera-ModLN conditioned
+        (clip_encoder.py:98-137, shape_diffusion.py:329-339)."""
         c = self.cfg
         images = jnp.asarray(images, jnp.float32)
         if images.ndim == 3:
@@ -160,11 +190,16 @@ class CraftsmanPipeline:
         s = c.cond.image_size
         if images.shape[1] != s:
             images = jax.image.resize(
-                images, (images.shape[0], s, s, 3), "bilinear")
+                images, (images.shape[0], s, s, 3), "bicubic")
         images = (images - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
-        _, emb = self.cond_model.apply({"params": self.params["cond"]},
-                                       images)
-        return emb[None]                      # [1, V, D]
+        v = images.shape[0]
+        mod = None
+        if c.cond.modulation_dim:
+            cams = np.resize(CRAFTSMAN_CAMERAS, (v, 4, 4))
+            mod = encode_camera(cams)
+        tokens, _ = self.cond_model.apply(
+            {"params": self.params["cond"]}, images, mod_cond=mod)
+        return tokens.reshape(1, -1, tokens.shape[-1])
 
     @partial(jax.jit, static_argnums=(0, 4, 6))
     def _sample(self, params, cond, noise, num_steps: int,

@@ -577,7 +577,22 @@ class Load_Craftsman_Shape_Diffusion_Model:
         }}
 
     def load(self, model_name="image-to-shape-diffusion"):
+        import os
         from ..models.craftsman import CraftsmanPipeline
+        from .base import CKPT_ROOT_PATH
+        root = os.path.join(CKPT_ROOT_PATH, "Craftsman")
+        cand = os.path.join(root, model_name)
+        for path in (cand, root):
+            if os.path.isdir(path):
+                try:
+                    pipe = CraftsmanPipeline.from_pretrained(path)
+                    print(f"[Load_Craftsman_Shape_Diffusion_Model] "
+                          f"loaded {path}")
+                    return (pipe,)
+                except FileNotFoundError:
+                    continue
+        print("[Load_Craftsman_Shape_Diffusion_Model] initializing "
+              f"random weights (no ckpt under {root})")
         return (CraftsmanPipeline.init_random(),)
 
 

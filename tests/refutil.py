@@ -46,6 +46,8 @@ def install():
         @staticmethod
         def structured(fields):
             import dataclasses
+            if not isinstance(fields, type):
+                return fields              # already an instance
             inst = object.__new__(fields)
             for f in dataclasses.fields(fields):
                 if f.default is not dataclasses.MISSING:
@@ -420,6 +422,9 @@ def install():
         setattr(tvt, cls, type(cls, (), {
             "__init__": lambda self, *a, **k: None,
             "BILINEAR": 2, "BICUBIC": 3}))
+    tvtt = _stub("torchvision.transforms.transforms")
+    tvtt._interpolation_modes_from_int = lambda i: i
+    tvt.transforms = tvtt
     if not hasattr(sys.modules.get("tqdm.auto"), "tqdm"):
         import tqdm as _tqdm
         sys.modules["tqdm.auto"].tqdm = _tqdm.tqdm
@@ -435,6 +440,55 @@ def install():
 def load(modpath: str):
     install()
     return importlib.import_module(modpath)
+
+
+_craftsman_installed = False
+
+
+def install_craftsman():
+    """Extra stubs for the craftsman package chain (pytorch_lightning,
+    omegaconf resolver, torchvision interpolation helper)."""
+    global _craftsman_installed
+    if _craftsman_installed:
+        return
+    install()
+    pl = _stub("pytorch_lightning")
+    pl.LightningModule = type("LightningModule", (), {})
+    pl.LightningDataModule = object
+    pl.Callback = object
+    pl.Trainer = object
+    _stub("pytorch_lightning.utilities")
+    rz = _stub("pytorch_lightning.utilities.rank_zero")
+    rz.rank_zero_debug = lambda *a, **k: None
+    rz.rank_zero_info = lambda *a, **k: None
+    rz.rank_zero_only = lambda f: f
+    cb = _stub("pytorch_lightning.callbacks")
+    cb.Callback = object
+    lg = _stub("pytorch_lightning.loggers")
+    lg.WandbLogger = object
+    import omegaconf
+    if not hasattr(omegaconf.OmegaConf, "register_new_resolver"):
+        omegaconf.OmegaConf.register_new_resolver = staticmethod(
+            lambda *a, **k: None)
+    dif = sys.modules["diffusers"]
+    for sched in ("DDPMScheduler", "DDIMScheduler",
+                  "UniPCMultistepScheduler", "KarrasVeScheduler",
+                  "DPMSolverMultistepScheduler"):
+        if not hasattr(dif, sched):
+            setattr(dif, sched, type(sched, (), {}))
+    comfy = _stub("comfy")
+    cu = _stub("comfy.utils")
+
+    class _ProgressBar:
+        def __init__(self, *a):
+            pass
+
+        def update_absolute(self, *a):
+            pass
+
+    cu.ProgressBar = _ProgressBar
+    comfy.utils = cu
+    _craftsman_installed = True
 
 
 _sparse_installed = False
