@@ -153,10 +153,14 @@ def _adam_update(params, grads, m, v, lrs, step):
 # Train step
 # ------------------------------------------------------------------ #
 def make_train_step(cfg: GSTrainConfig, cameras: Camera,
-                    images: jnp.ndarray, masks: jnp.ndarray):
+                    images: jnp.ndarray, masks: jnp.ndarray,
+                    mesh=None):
     """Build the jitted train step over a fixed reference view set.
 
     images: [V, H, W, 3] in [0,1]; masks: [V, H, W]; cameras batched [V].
+    With a `mesh`, the per-step view batch is dp-sharded (SURVEY.md
+    §2.7 implication (a): data-parallel over the view axis); the splat
+    params stay replicated, GSPMD inserts the grad psum.
     """
     height, width = cameras.height, cameras.width
     nviews = images.shape[0]
@@ -205,6 +209,17 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
                "loss_ssim": l_ssim}
         return loss, aux
 
+    def _dp_shard(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+        if x.shape[0] % mesh.shape[axis]:
+            return x
+        spec = P(*((axis,) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec))
+
     @jax.jit
     def train_step(state: GSTrainState, key):
         k_view, k_bg = jax.random.split(key)
@@ -214,6 +229,9 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
             < cfg.invert_bg_prob, 0.0, 1.0) * jnp.ones((cfg.batch_size, 3))
         cap = state.alive.shape[0]
         vs_off = jnp.zeros((cfg.batch_size, cap, 2))
+        view_idx = _dp_shard(view_idx)
+        bgs = _dp_shard(bgs)
+        vs_off = _dp_shard(vs_off)
 
         (loss, aux), (g_params, g_vs) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
@@ -357,17 +375,18 @@ def reset_opacity(state: GSTrainState) -> GSTrainState:
 # ------------------------------------------------------------------ #
 def train(splat: GaussianSplat, cameras: Camera, images, masks,
           cfg: GSTrainConfig = GSTrainConfig(), seed: int = 0,
-          progress: Optional[Callable[[int, dict], None]] = None
-          ) -> GaussianSplat:
+          progress: Optional[Callable[[int, dict], None]] = None,
+          mesh=None) -> GaussianSplat:
     """Run the full optimization; returns the trained splat.
 
     Counterpart of `GaussianSplatting3D.training` (main_3DGS.py:129-232);
-    `progress` plays the role of comfy's ProgressBar callback.
+    `progress` plays the role of comfy's ProgressBar callback. `mesh`
+    dp-shards the view batch over the devices of a jax.sharding.Mesh.
     """
     images = jnp.asarray(images, jnp.float32)
     masks = jnp.asarray(masks, jnp.float32)
     state = init_state(splat)
-    step_fn = make_train_step(cfg, cameras, images, masks)
+    step_fn = make_train_step(cfg, cameras, images, masks, mesh=mesh)
     densify_fn = make_densify_step(cfg)
     key = jax.random.PRNGKey(seed)
 

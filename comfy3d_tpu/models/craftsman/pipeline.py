@@ -26,7 +26,7 @@ from ..diffusion import schedulers
 from ..diffusion.schedulers import SchedulerConfig
 from ..vecset import ShapeVAE, ShapeVAEConfig
 from ..vecset.blocks import ResidualAttentionBlock
-from ..vecset.vae import decode_volume, grid_to_mesh
+from ..vecset.vae import decode_volume_auto, grid_to_mesh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,7 +242,8 @@ class CraftsmanPipeline:
             return self.vae.apply({"params": params}, dec, pts,
                                   method=ShapeVAE.query)
 
-        grids = decode_volume(q, self.params["vae"], decoded,
+        grids = decode_volume_auto(q, self.params["vae"], decoded,
+                              mesh=getattr(self, "mesh", None),
                               octree_resolution=octree_resolution,
                               num_chunks=num_chunks)
         return [grid_to_mesh(g) for g in np.asarray(grids, np.float32)]

@@ -27,7 +27,7 @@ from ..dinov2 import (Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD,
 from ..vecset import (DiTConfig, Hunyuan3DDiT, ShapeVAE, ShapeVAEConfig,
                       flow_match_sigmas)
 from ..vecset.convert import convert_dit, convert_shape_vae
-from ..vecset.vae import decode_volume, grid_to_mesh
+from ..vecset.vae import decode_volume_auto, grid_to_mesh
 from .. import convert as C
 
 
@@ -184,7 +184,8 @@ class Hunyuan3DShapePipeline:
             return self.vae.apply({"params": params}, dec, pts,
                                   method=ShapeVAE.query)
 
-        grids = decode_volume(q, self.params["vae"], decoded,
+        grids = decode_volume_auto(q, self.params["vae"], decoded,
+                              mesh=getattr(self, "mesh", None),
                               octree_resolution=octree_resolution,
                               bounds=bounds, num_chunks=num_chunks)
         return [grid_to_mesh(g, bounds=bounds, mc_level=mc_level)

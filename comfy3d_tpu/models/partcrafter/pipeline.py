@@ -27,7 +27,7 @@ import numpy as np
 from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
 from ..triposg.dit import DiTBlock, TripoSGDiTConfig, _sinusoidal
 from ..triposg.vae import TripoSGVAE, TripoSGVAEConfig
-from ..vecset.vae import decode_volume, grid_to_mesh
+from ..vecset.vae import decode_volume_auto, grid_to_mesh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,7 +214,8 @@ class PartCrafterPipeline:
             return self.vae.apply({"params": params}, dec, pts,
                                   method=TripoSGVAE.query)
 
-        grids = decode_volume(q, self.params["vae"], decoded,
+        grids = decode_volume_auto(q, self.params["vae"], decoded,
+                              mesh=getattr(self, "mesh", None),
                               octree_resolution=octree_resolution,
                               num_chunks=num_chunks)
         return [grid_to_mesh(g) for g in np.asarray(grids, np.float32)]

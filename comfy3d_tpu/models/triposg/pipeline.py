@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
-from ..vecset.vae import decode_volume, grid_to_mesh
+from ..vecset.vae import decode_volume_auto, grid_to_mesh
 from .dit import TripoSGDiT, TripoSGDiTConfig
 from .vae import TripoSGVAE, TripoSGVAEConfig
 
@@ -140,7 +140,8 @@ class TripoSGPipeline:
             return self.vae.apply({"params": params}, dec, pts,
                                   method=TripoSGVAE.query)
 
-        grids = decode_volume(q, self.params["vae"], decoded,
+        grids = decode_volume_auto(q, self.params["vae"], decoded,
+                              mesh=getattr(self, "mesh", None),
                               octree_resolution=octree_resolution,
                               bounds=bounds, num_chunks=num_chunks)
         return [grid_to_mesh(g, bounds=bounds)

@@ -37,6 +37,24 @@ SUPPORTED_CHECKPOINTS_EXTENSIONS = (".ckpt", ".bin", ".safetensors",
 WEIGHT_DTYPE = "bfloat16"   # fp16 in the reference (nodes.py:204); bf16 on TPU
 
 
+def maybe_shard(pipe):
+    """Shard a freshly-loaded pipeline over all visible devices (tp on
+    transformer matmuls, dp available to the chunked decoders). No-op on
+    one device or when COMFY3D_NO_SHARD is set — the single chokepoint
+    through which every Load_* node reaches `parallel/`."""
+    if os.environ.get("COMFY3D_NO_SHARD"):
+        return pipe
+    if not hasattr(pipe, "params"):
+        return pipe
+    from ..parallel import maybe_default_mesh, shard_pipeline
+    mesh = maybe_default_mesh()
+    if mesh is None:
+        return pipe
+    print(f"[Comfy3D] sharding pipeline over mesh "
+          f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    return shard_pipeline(pipe, mesh)
+
+
 def register(cls=None, *, comfy3d: bool = True):
     """Class decorator: add to the node registry."""
     def deco(c):

@@ -179,7 +179,8 @@ class Load_Diffusers_Pipeline:
             print(f"[Load_Diffusers_Pipeline] loaded "
                   f"{diffusers_pipeline_name} from {ckpt_dir}")
             pipe.repo_id = repo_id
-            return (pipe,)
+            from .base import maybe_shard
+            return (maybe_shard(pipe),)
         elif _has_weights(ckpt_dir):
             print(f"[Load_Diffusers_Pipeline] "
                   f"{diffusers_pipeline_name} has no checkpoint "
@@ -190,7 +191,8 @@ class Load_Diffusers_Pipeline:
                   f"{diffusers_pipeline_name} with random weights")
         pipe = factory()
         pipe.repo_id = repo_id
-        return (pipe,)
+        from .base import maybe_shard
+        return (maybe_shard(pipe),)
 
 
 @register

@@ -553,9 +553,10 @@ class Load_TripoSG_Pipeline:
         from ..models.triposg import TripoSGPipeline
         from .nodes_mvdiffusion import _local_ckpt
         ckpt = _local_ckpt(repo_id)
+        from .base import maybe_shard
         if ckpt:
             print(f"[Load_TripoSG_Pipeline] loading {ckpt}")
-            return (TripoSGPipeline.from_pretrained(ckpt),)
+            return (maybe_shard(TripoSGPipeline.from_pretrained(ckpt)),)
         print(f"[Load_TripoSG_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
         return (TripoSGPipeline.init_random(),)
@@ -588,7 +589,8 @@ class Load_Craftsman_Shape_Diffusion_Model:
                     pipe = CraftsmanPipeline.from_pretrained(path)
                     print(f"[Load_Craftsman_Shape_Diffusion_Model] "
                           f"loaded {path}")
-                    return (pipe,)
+                    from .base import maybe_shard
+                    return (maybe_shard(pipe),)
                 except FileNotFoundError:
                     continue
         print("[Load_Craftsman_Shape_Diffusion_Model] initializing "

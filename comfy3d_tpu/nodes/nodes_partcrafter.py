@@ -57,7 +57,8 @@ class _PartCrafterLoaderBase:
                   f"(no local checkpoint for {self._REPO_ID})")
             pipe = PartCrafterPipeline.init_random()
         pipe.is_scene = self._SCENE
-        return (pipe,)
+        from .base import maybe_shard
+        return (maybe_shard(pipe),)
 
 
 @register

@@ -198,7 +198,22 @@ class Gaussian_Splatting_3D:
             lambda_ssim=ms_ssim_loss_weight,
             lambda_alpha=alpha_loss_weight,
             invert_bg_prob=invert_background_probability)
-        out = gs_trainer.train(splat, cams, imgs, masks, cfg)
+        # dp-shard the view batch over all visible devices (the batch is
+        # grown to a multiple of the dp axis so nothing is wasted)
+        mesh = None
+        import os as _os
+        if not _os.environ.get("COMFY3D_NO_SHARD"):
+            from ..parallel import maybe_default_mesh
+            mesh = maybe_default_mesh()
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            if cfg.batch_size % dp:
+                import dataclasses as _dc
+                cfg = _dc.replace(
+                    cfg, batch_size=-(-cfg.batch_size // dp) * dp)
+                print(f"[Gaussian_Splatting_3D] batch_size → "
+                      f"{cfg.batch_size} (dp={dp})")
+        out = gs_trainer.train(splat, cams, imgs, masks, cfg, mesh=mesh)
         return (out,)
 
 

@@ -53,11 +53,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 # Column-parallel (shard output features): QKV projections, FF expansion.
+# Covers the zoo's block families: diffusers-style (to_q/to_k/to_v,
+# ff_0), vecset/Michelangelo (c_qkv/c_kv/c_q, mlp c_fc), HF ViT
+# (query/key/value, fc1), CLIP (q_proj/k_proj/v_proj).
 _COL_PAT = re.compile(
-    r"(to_q|to_k|to_v|query|key|value|net_0/proj|mlp_in|sig1|col1)"
+    r"(to_q|to_k|to_v|query|key|value|q_proj|k_proj|v_proj|c_qkv|c_kv"
+    r"|c_q\b|net_0/proj|ff_0|fc1|c_fc|weights_in|mlp_in|sig1|col1)"
     r"/kernel$")
 # Row-parallel (shard input features): attention out-proj, FF contraction.
-_ROW_PAT = re.compile(r"(to_out_0|out|net_2|mlp_out|sig2|col2)/kernel$")
+_ROW_PAT = re.compile(
+    r"(to_out_0|out_proj|attn_out|\bout|net_2|ff_2|fc2|weights_out"
+    r"|c_proj|mlp_out|sig2|col2)/kernel$")
 
 
 def tp_spec_for_path(path: str, ndim: int, axis: str = "tp") -> P:
@@ -86,3 +92,29 @@ def apply_tp_sharding(params, mesh: Mesh, axis: str = "tp"):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_pipeline(pipe, mesh: Optional[Mesh] = None, axis: str = "tp"):
+    """Shard a model-zoo pipeline's parameters over a device mesh and
+    record the mesh on the pipe (read by the chunked volume decoders to
+    dp-shard query points). The product-path entrance to `parallel/`:
+    `Load_*` nodes call this when more than one device is visible, so a
+    user on a v5e-8 gets tensor-parallel denoisers and sharded decode
+    without touching this module (SURVEY.md §2.7 implications a–c)."""
+    if mesh is None:
+        mesh = make_mesh()
+    if isinstance(pipe.params, dict) and all(
+            isinstance(v, dict) for v in pipe.params.values()):
+        pipe.params = {k: apply_tp_sharding(v, mesh, axis)
+                       for k, v in pipe.params.items()}
+    else:
+        pipe.params = apply_tp_sharding(pipe.params, mesh, axis)
+    pipe.mesh = mesh
+    return pipe
+
+
+def maybe_default_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """A dp×tp mesh over all visible devices, or None single-device."""
+    if len(jax.devices()) < min_devices:
+        return None
+    return make_mesh()
