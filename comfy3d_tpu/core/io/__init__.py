@@ -36,7 +36,8 @@ def load_mesh(path: str):
         d = load_glb(path)
         return Mesh(v=d["v"], f=d["f"], vt=d["vt"], ft=d["ft"], vn=d["vn"],
                     fn=d["f"].copy() if d["vn"] is not None else None,
-                    albedo=d["albedo"])
+                    albedo=d["albedo"],
+                    metallic_roughness=d["metallic_roughness"])
     raise ValueError(f"unsupported mesh extension: {ext}")
 
 

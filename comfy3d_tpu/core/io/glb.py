@@ -196,26 +196,35 @@ def load_glb(path: str):
         uv = read_accessor(best["attributes"]["TEXCOORD_0"]).astype(np.float32)
         vt = np.stack([uv[:, 0], 1.0 - uv[:, 1]], -1)
 
-    albedo = None
-    if "material" in best and "images" in gltf:
-        mat = gltf["materials"][best["material"]]
-        tex_info = mat.get("pbrMetallicRoughness", {}).get("baseColorTexture")
-        if tex_info is not None:
-            img_idx = gltf["textures"][tex_info["index"]]["source"]
-            img = gltf["images"][img_idx]
-            if "bufferView" in img:
-                view = gltf["bufferViews"][img["bufferView"]]
-                start = view.get("byteOffset", 0)
-                png = np.frombuffer(bin_blob, np.uint8,
-                                    view["byteLength"], start)
-                import cv2
-                dec = cv2.imdecode(png, cv2.IMREAD_COLOR)
-                if dec is not None:
-                    albedo = np.ascontiguousarray(
-                        cv2.cvtColor(dec, cv2.COLOR_BGR2RGB)[::-1]
-                    ).astype(np.float32) / 255.0
+    def read_texture(tex_info):
+        if tex_info is None or "images" not in gltf:
+            return None
+        img_idx = gltf["textures"][tex_info["index"]]["source"]
+        img = gltf["images"][img_idx]
+        if "bufferView" not in img:
+            return None
+        view = gltf["bufferViews"][img["bufferView"]]
+        start = view.get("byteOffset", 0)
+        png = np.frombuffer(bin_blob, np.uint8, view["byteLength"],
+                            start)
+        import cv2
+        dec = cv2.imdecode(png, cv2.IMREAD_COLOR)
+        if dec is None:
+            return None
+        return np.ascontiguousarray(
+            cv2.cvtColor(dec, cv2.COLOR_BGR2RGB)[::-1]
+        ).astype(np.float32) / 255.0
+
+    albedo = metallic_roughness = None
+    if "material" in best:
+        pbr = gltf["materials"][best["material"]].get(
+            "pbrMetallicRoughness", {})
+        albedo = read_texture(pbr.get("baseColorTexture"))
+        metallic_roughness = read_texture(
+            pbr.get("metallicRoughnessTexture"))
     return {"v": v, "f": f, "vt": vt, "ft": f.copy() if vt is not None
-            else None, "vn": vn, "albedo": albedo}
+            else None, "vn": vn, "albedo": albedo,
+            "metallic_roughness": metallic_roughness}
 
 
 def _align_v_to_vt(v, f, vt, ft, vn=None):

@@ -55,6 +55,11 @@ class PaintConfig:
     num_cls: int = 44                 # camera_info label range
     prompt_tokens: int = 77
     prompt_dim: int = 1024
+    # Hunyuan 2.1 PBR: attribute groups denoised jointly with learned
+    # per-attribute prompt embeddings (hunyuanpaintpbr/unet/model.py:56,
+    # 332-335: pbr_settings + learned_text_clip_{albedo,mr}); empty →
+    # RGB-only (the V2 paint model)
+    pbr_settings: Tuple[str, ...] = ()
     unet: UNetConfig = UNetConfig(
         in_channels=12, out_channels=4, cross_attention_dim=1024,
         mv_views=6)
@@ -93,6 +98,7 @@ class Hunyuan3DPaintPipeline:
                                    cfg.unet.block_out_channels[0] * 4)
         self.params = params
         self.delight = None            # image [H,W,3] -> [H,W,3]
+        self.superres = None           # views [V,S,S,3] -> [V,S',S',3]
         self.vision_encoder = None
 
     @classmethod
@@ -100,7 +106,7 @@ class Hunyuan3DPaintPipeline:
                     ) -> "Hunyuan3DPaintPipeline":
         cfg = cfg or PaintConfig()
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         v = len(cfg.camera_azims)
         lat = cfg.render_size // 8
         params = {
@@ -116,10 +122,20 @@ class Hunyuan3DPaintPipeline:
                              cfg.unet.block_out_channels[0] * 4).init(
                 k3, jnp.zeros((v,), jnp.int32))["params"],
         }
+        if cfg.pbr_settings:
+            # learned_text_clip_{attr} role (model.py:332-335)
+            params["attr_embeds"] = 0.02 * jax.random.normal(
+                k4, (len(cfg.pbr_settings), cfg.prompt_tokens,
+                     cfg.prompt_dim))
         return cls(params, cfg)
 
     def set_delight(self, fn):
         self.delight = fn
+
+    def set_superres(self, fn):
+        """Per-view enhancement before baking (the RealESRGAN slot,
+        textureGenPipeline.py:160-166)."""
+        self.superres = fn
 
     # ---------------------------------------------------------------- #
     def render_geometry(self, mesh):
@@ -158,25 +174,39 @@ class Hunyuan3DPaintPipeline:
                  num_steps: int, guidance_scale,
                  scheduler_name: str = "EulerAncestralDiscreteScheduler",
                  noise=None):
+        """Rows are ordered [cfg, attr, view] — each contiguous
+        `mv_views` group is one (cfg-stream, pbr-attribute) set, so the
+        joint MV attention never mixes attributes or guidance streams
+        (the SelfAttnProcessor per-attribute split of
+        hunyuanpaintpbr/unet/attn_processor.py:745-756)."""
         cfg = self.cfg
         nv = geom_lat.shape[0]
+        n_pbr = max(1, len(cfg.pbr_settings))
         sched = make_scheduler(scheduler_name, cfg.scheduler, num_steps)
         cls_emb = self.cls_embed.apply({"params": params["cls"]},
                                        cam_labels)
-        geom2 = jnp.concatenate([geom_lat, geom_lat], axis=0)
-        cls2 = jnp.concatenate([cls_emb, cls_emb], axis=0)
-        ctx = jnp.zeros((2 * nv, cfg.prompt_tokens, cfg.prompt_dim))
-        # [uncond, cond] tiled to the view axis: the mv_views=6 joint
-        # attention needs the ref batch to match the denoise batch
+        geom2 = jnp.tile(geom_lat, (2 * n_pbr, 1, 1, 1))
+        cls2 = jnp.tile(cls_emb, (2 * n_pbr, 1))
+        if cfg.pbr_settings:
+            # per-attribute learned prompt context, tiled per view and
+            # per guidance stream
+            ctx = jnp.tile(jnp.repeat(params["attr_embeds"], nv, axis=0),
+                           (2, 1, 1))
+        else:
+            ctx = jnp.zeros((2 * n_pbr * nv, cfg.prompt_tokens,
+                             cfg.prompt_dim))
+        # [uncond, cond] tiled to the (attr, view) axes: the mv_views
+        # joint attention needs the ref batch to match the denoise batch
         img2 = jnp.repeat(jnp.concatenate(
-            [jnp.zeros_like(img_lat), img_lat], axis=0), nv, axis=0)
+            [jnp.zeros_like(img_lat), img_lat], axis=0), n_pbr * nv,
+            axis=0)
         latents = noise * sched.init_sigma
 
         def body(i, carry):
             latents, aux, key = carry
             key, k_cond, k_step = jax.random.split(key, 3)
             t = sched.timesteps[i]
-            tvec = jnp.full((2 * nv,), t, jnp.float32)
+            tvec = jnp.full((2 * n_pbr * nv,), t, jnp.float32)
             # reference write: re-noised condition latent (the
             # RefOnlyNoisedUNet mechanism, hunyuanpaint pipeline.py)
             noisy = sched.add_noise(
@@ -207,9 +237,11 @@ class Hunyuan3DPaintPipeline:
 
     def paint_views(self, mesh, image, num_steps: int = 15,
                     guidance_scale: float = 3.0, seed: int = 0):
-        """→ views [V, S, S, 3] in [0,1]."""
+        """→ views [V, S, S, 3] in [0,1]; with pbr_settings a dict
+        {attr: [V, S, S, 3]} (albedo + metallic/roughness views)."""
         cfg = self.cfg
         s = cfg.render_size
+        n_pbr = max(1, len(cfg.pbr_settings))
         image = jnp.asarray(image, jnp.float32)
         if image.ndim == 3:
             image = image[None]
@@ -226,7 +258,7 @@ class Hunyuan3DPaintPipeline:
                                           cfg.camera_elevs))
         noise = jax.random.normal(
             jax.random.PRNGKey(seed),
-            (geom_lat.shape[0],) + geom_lat.shape[1:3] + (4,))
+            (n_pbr * geom_lat.shape[0],) + geom_lat.shape[1:3] + (4,))
         out = self._denoise(self.params, geom_lat, img_lat, labels,
                             int(num_steps), jnp.float32(guidance_scale),
                             getattr(self, "scheduler_name", None)
@@ -235,22 +267,50 @@ class Hunyuan3DPaintPipeline:
         views = self.vae.apply({"params": self.params["vae"]},
                                out / cfg.vae_scaling,
                                method=AutoencoderKL.decode)
-        return jnp.clip(views * 0.5 + 0.5, 0.0, 1.0)
+        views = jnp.clip(views * 0.5 + 0.5, 0.0, 1.0)
+        if not cfg.pbr_settings:
+            return views
+        nv = geom_lat.shape[0]
+        return {attr: views[i * nv:(i + 1) * nv]
+                for i, attr in enumerate(cfg.pbr_settings)}
+
+    def _bake(self, mesh, views, cams):
+        from ...algorithms import color_project
+        cfg = self.cfg
+        views = np.asarray(views)
+        if self.superres is not None:
+            views = np.asarray(self.superres(views))
+            if views.shape[1] != cfg.render_size:
+                import jax.image as jimage
+                views = np.asarray(jimage.resize(
+                    jnp.asarray(views),
+                    (views.shape[0], cfg.render_size, cfg.render_size,
+                     3), "bilinear"))
+        return color_project.bake_projection(
+            mesh, views, cams, texture_size=cfg.texture_size,
+            cos_power=cfg.bake_exp, view_weights=cfg.view_weights)
 
     def __call__(self, mesh, image, num_steps: int = 15,
                  guidance_scale: float = 3.0, seed: int = 0):
-        """mesh + reference image [H,W,3] → mesh with baked albedo."""
-        from ...algorithms import color_project
+        """mesh + reference image [H,W,3] → mesh with baked albedo
+        (+ metallicRoughness texture in PBR mode, the
+        textureGenPipeline.py:174-217 role)."""
         from ...core.camera import Camera
         cfg = self.cfg
-        views = np.asarray(self.paint_views(mesh, image, num_steps,
-                                            guidance_scale, seed))
+        views = self.paint_views(mesh, image, num_steps,
+                                 guidance_scale, seed)
         cams = Camera.from_orbit(
             np.asarray(cfg.camera_elevs, np.float32),
             np.asarray(cfg.camera_azims, np.float32),
             cfg.camera_distance, width=cfg.render_size,
             height=cfg.render_size)
-        return color_project.bake_projection(
-            mesh, views, cams, texture_size=cfg.texture_size,
-            cos_power=cfg.bake_exp,
-            view_weights=cfg.view_weights).auto_normal()
+        if not cfg.pbr_settings:
+            return self._bake(mesh, views, cams).auto_normal()
+        out = self._bake(mesh, views["albedo"], cams)
+        if "mr" in views:
+            from ...core.mesh import Mesh
+            mr_carrier = Mesh(v=out.v, f=out.f, vt=out.vt, ft=out.ft,
+                              vn=out.vn)
+            mr_carrier = self._bake(mr_carrier, views["mr"], cams)
+            out.metallic_roughness = np.asarray(mr_carrier.albedo)
+        return out.auto_normal()

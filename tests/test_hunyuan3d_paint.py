@@ -74,3 +74,55 @@ def test_paint_node_registered():
     from comfy3d_tpu.nodes.graph import load_node_mappings
     m = load_node_mappings()
     assert "[Comfy3D] Hunyuan3D V2 Paint Model" in m
+
+
+# ------------------------- 2.1 PBR mode --------------------------- #
+def _tiny_pbr_cfg():
+    return dc.replace(_tiny_cfg(), pbr_settings=("albedo", "mr"))
+
+
+@pytest.fixture(scope="module")
+def pbr_pipe():
+    return Hunyuan3DPaintPipeline.init_random(cfg=_tiny_pbr_cfg())
+
+
+def test_pbr_views_two_attribute_groups(pbr_pipe):
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    views = pbr_pipe.paint_views(_cube(), img, num_steps=2)
+    assert set(views) == {"albedo", "mr"}
+    a = np.asarray(views["albedo"])
+    m = np.asarray(views["mr"])
+    assert a.shape == (6, 32, 32, 3) and m.shape == (6, 32, 32, 3)
+    # the learned per-attribute embeddings must actually differentiate
+    # the two groups
+    assert np.abs(a - m).max() > 1e-6
+
+
+def test_pbr_full_paint_sets_metallic_roughness(pbr_pipe, tmp_path):
+    img = np.random.RandomState(3).rand(32, 32, 3).astype(np.float32)
+    mesh = pbr_pipe(_cube(), img, num_steps=2)
+    assert mesh.albedo is not None
+    assert mesh.metallic_roughness is not None
+    assert mesh.metallic_roughness.shape == mesh.albedo.shape
+    # PBR GLB export round-trip carries the metallicRoughness texture
+    p = str(tmp_path / "pbr.glb")
+    mesh.write(p)
+    back = Mesh.load(p)
+    assert back.metallic_roughness is not None
+
+
+def test_pbr_superres_hook(pbr_pipe):
+    calls = {"n": 0}
+
+    def sr(views):
+        calls["n"] += 1
+        return np.repeat(np.repeat(np.asarray(views), 2, 1), 2, 2)
+
+    pbr_pipe.set_superres(sr)
+    try:
+        img = np.random.RandomState(4).rand(32, 32, 3).astype(np.float32)
+        mesh = pbr_pipe(_cube(), img, num_steps=2)
+        assert calls["n"] == 2          # albedo + mr passes
+        assert mesh.albedo is not None
+    finally:
+        pbr_pipe.set_superres(None)
