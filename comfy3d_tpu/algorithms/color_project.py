@@ -125,7 +125,7 @@ def bake_projection(mesh: Mesh, images, cameras: Camera,
     mesh = project_and_inpaint(mesh, images, cameras, cos_power,
                                view_weights=view_weights)
     if mesh.vt is None or mesh.ft is None:
-        vt, ft = T.box_unwrap(np.asarray(mesh.v), np.asarray(mesh.f))
+        vt, ft = T.auto_unwrap(np.asarray(mesh.v), np.asarray(mesh.f))
         mesh.vt, mesh.ft = vt, ft
     albedo = T.bake_vertex_colors(
         jnp.asarray(mesh.v), jnp.asarray(mesh.f), jnp.asarray(mesh.vt),

@@ -73,7 +73,7 @@ def convert(splat: GaussianSplat, cfg: GSToMeshConfig = GSToMeshConfig(),
 
     # 4. unwrap + bake the NeRF color field (fit_mesh_uv role)
     if cfg.bake_texture and mesh.num_faces:
-        vt, ft = texture_ops.box_unwrap(mesh.v, mesh.f)
+        vt, ft = texture_ops.auto_unwrap(mesh.v, mesh.f)
         field, _ = ngp_mod.make_field(params, ncfg)
 
         def color_fn(pts):

@@ -396,7 +396,7 @@ class Convert_Vertex_Color_To_Texture:
         if mesh.vc is None:
             return error_none(self.__class__.__name__,
                               "mesh has no vertex colors")
-        vt, ft = texture_ops.box_unwrap(mesh.v, mesh.f)
+        vt, ft = texture_ops.auto_unwrap(mesh.v, mesh.f)
         albedo = texture_ops.bake_vertex_colors(
             mesh.v, mesh.f, vt, ft, mesh.vc,
             texture_size=texture_resolution)
@@ -451,7 +451,7 @@ class Fitting_Mesh_With_Multiview_Images:
         if mesh.vt is None or mesh.ft is None:
             # reference auto-unwraps with xatlas (nodes.py:1372-ish);
             # here: box-projection unwrap
-            vt, ft = texture_ops.box_unwrap(mesh.v, mesh.f)
+            vt, ft = texture_ops.auto_unwrap(mesh.v, mesh.f)
             import dataclasses as _dc
             mesh = _dc.replace(mesh, vt=vt, ft=ft)
         cfg = diff_mesh.DiffMeshConfig(

@@ -106,7 +106,7 @@ class Convert_Vertex_Color_To_Texture:
                   "skipping")
             return (mesh,)
         if mesh.vt is None or mesh.ft is None:
-            vt, ft = T.box_unwrap(np.asarray(mesh.v),
+            vt, ft = T.auto_unwrap(np.asarray(mesh.v),
                                   np.asarray(mesh.f))
             mesh.vt, mesh.ft = vt, ft
         albedo = T.bake_vertex_colors(

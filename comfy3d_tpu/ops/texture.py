@@ -7,10 +7,10 @@ Covers three reference roles with one UV-space rasterization pipeline:
   * `mesh_utils.color_func_to_albedo` (`mesh_processer/mesh_utils.py:
     521-568`): UV rasterize → batched 3D color queries → uv_padding;
   * xatlas parametrization (`mesh_processer/mesh.py:496` auto_uv) —
-    replaced by a box-projection unwrap in the spirit of SF3D's
-    `box_uv_unwrap.py` (normal-dominant-axis chart assignment + a 3×2
-    chart atlas). Host-side numpy; charts are seam-y but valid, which is
-    what feed-forward texture baking needs.
+    `auto_unwrap` delegates to the charted LSCM atlas
+    (`ops.uv_atlas.atlas_unwrap`), falling back to the box-projection
+    unwrap (SF3D `box_uv_unwrap.py` spirit) for very large meshes where
+    the host-side chart segmentation would dominate.
 
 The UV rasterization reuses `ops.rasterize` with an orthographic map of
 the unit UV square to clip space — one rasterizer serves screen space and
@@ -29,8 +29,22 @@ from ..core import image as image_ops
 from . import rasterize as R
 
 
+def auto_unwrap(v: np.ndarray, f: np.ndarray, padding: float = 0.01,
+                max_atlas_faces: int = 300_000):
+    """Charted LSCM atlas (xatlas role) with box-projection fallback."""
+    f = np.asarray(f)
+    if f.shape[0] <= max_atlas_faces:
+        try:
+            from .uv_atlas import atlas_unwrap
+            return atlas_unwrap(np.asarray(v), f, padding=padding)
+        except Exception as e:  # noqa: BLE001 — degenerate inputs
+            print(f"[texture.auto_unwrap] atlas failed ({e}); "
+                  "falling back to box unwrap")
+    return box_unwrap(np.asarray(v), f, padding=padding)
+
+
 # ------------------------------------------------------------------ #
-# Box-projection UV unwrap (xatlas / box_uv_unwrap role)
+# Box-projection UV unwrap (SF3D box_uv_unwrap role)
 # ------------------------------------------------------------------ #
 def box_unwrap(v: np.ndarray, f: np.ndarray, padding: float = 0.01):
     """Returns (vt [Nt, 2], ft [M, 3]): per-face UVs from the dominant
