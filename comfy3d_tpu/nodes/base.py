@@ -38,21 +38,26 @@ WEIGHT_DTYPE = "bfloat16"   # fp16 in the reference (nodes.py:204); bf16 on TPU
 
 
 def maybe_shard(pipe):
-    """Shard a freshly-loaded pipeline over all visible devices (tp on
-    transformer matmuls, dp available to the chunked decoders). No-op on
-    one device or when COMFY3D_NO_SHARD is set — the single chokepoint
-    through which every Load_* node reaches `parallel/`."""
-    if os.environ.get("COMFY3D_NO_SHARD"):
-        return pipe
+    """Prepare a freshly-loaded pipeline: shard it over all visible
+    devices (tp on transformer matmuls, dp available to the chunked
+    decoders; no-op on one device or under COMFY3D_NO_SHARD) and, when
+    COMFY3D_OFFLOAD is set, register it with the LRU pipeline vault so
+    earlier pipelines offload to host RAM (the mmgp profile role,
+    reference nodes.py:5382-5390). The single chokepoint through which
+    every Load_* node reaches `parallel/`."""
     if not hasattr(pipe, "params"):
         return pipe
-    from ..parallel import maybe_default_mesh, shard_pipeline
-    mesh = maybe_default_mesh()
-    if mesh is None:
-        return pipe
-    print(f"[Comfy3D] sharding pipeline over mesh "
-          f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    return shard_pipeline(pipe, mesh)
+    if not os.environ.get("COMFY3D_NO_SHARD"):
+        from ..parallel import maybe_default_mesh, shard_pipeline
+        mesh = maybe_default_mesh()
+        if mesh is not None:
+            print(f"[Comfy3D] sharding pipeline over mesh "
+                  f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+            shard_pipeline(pipe, mesh)
+    if os.environ.get("COMFY3D_OFFLOAD"):
+        from ..parallel import default_vault
+        default_vault().admit(pipe)
+    return pipe
 
 
 def register(cls=None, *, comfy3d: bool = True):
