@@ -29,11 +29,24 @@ _SUBMODULES = (
 )
 
 
+# ComfyUI custom-node plug-in surface (reference __init__.py:50-66):
+# ComfyUI imports NODE_CLASS_MAPPINGS / NODE_DISPLAY_NAME_MAPPINGS /
+# WEB_DIRECTORY from the package root. The mappings resolve lazily via
+# PEP 562 so `import comfy3d_tpu` stays light outside ComfyUI.
+WEB_DIRECTORY = "./server/web"
+
+
 def __getattr__(name):
     if name in _SUBMODULES:
         return _importlib.import_module(f".{name}", __name__)
+    if name in ("NODE_CLASS_MAPPINGS", "NODE_DISPLAY_NAME_MAPPINGS"):
+        graph = _importlib.import_module(".nodes.graph", __name__)
+        base = _importlib.import_module(".nodes.base", __name__)
+        graph.load_node_mappings()
+        return getattr(base, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def __dir__():
-    return sorted(list(globals()) + list(_SUBMODULES))
+    return sorted(list(globals()) + list(_SUBMODULES)
+                  + ["NODE_CLASS_MAPPINGS", "NODE_DISPLAY_NAME_MAPPINGS"])

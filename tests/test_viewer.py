@@ -1,0 +1,122 @@
+"""Browser GS-splat viewer: schema + math parity with the framework.
+
+The viewer (server/web/viewer.html) parses GS PLYs and splats them with
+an EWA shader. No JS runtime ships in this image, so these tests port
+the viewer's parsing/covariance math to numpy and check it against the
+framework's own GaussianSplat semantics — catching schema drift
+(property names, quaternion convention, activation functions) between
+the PLY writer and the JS."""
+
+import re
+
+import dataclasses
+import numpy as np
+import pytest
+
+VIEWER = "comfy3d_tpu/server/web/viewer.html"
+
+
+def _viewer_src():
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", VIEWER)
+    return open(path).read()
+
+
+def test_viewer_reads_the_writers_schema():
+    src = _viewer_src()
+    for prop in ("f_dc_0", "f_dc_1", "f_dc_2", "opacity", "scale_0",
+                 "scale_1", "scale_2", "rot_0", "rot_1", "rot_2",
+                 "rot_3"):
+        assert f"'{prop}'" in src, f"viewer never reads {prop}"
+    # splatting, not point sprites
+    assert "InstancedBufferGeometry" in src
+    assert "projectionMatrix" in src and "exp(-0.5" in src
+    assert "PointsMaterial" not in src
+    # premultiplied back-to-front compositing
+    assert "OneMinusSrcAlphaFactor" in src
+    assert re.search(r"depth\[a\] - depth\[b\]", src)
+
+
+def _js_cov3d(scale_log, quat_wxyz):
+    """Port of the viewer's per-splat covariance construction."""
+    s = np.exp(scale_log)
+    q = quat_wxyz / np.linalg.norm(quat_wxyz)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    M = R @ np.diag(s)
+    return M @ M.T
+
+
+def test_js_covariance_matches_framework():
+    from comfy3d_tpu.core.gaussian import GaussianSplat, quat_to_rotmat
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    scale_log = rng.randn(3).astype(np.float32) * 0.3 - 3.0
+    quat = rng.randn(4).astype(np.float32)
+
+    cov_js = _js_cov3d(scale_log, quat)
+
+    splat = GaussianSplat.from_points(np.zeros((1, 3), np.float32))
+    splat = dataclasses.replace(
+        splat, scale_raw=jnp.asarray(scale_log)[None],
+        rot_raw=jnp.asarray(quat)[None])
+    R = np.asarray(quat_to_rotmat(splat.rotation))[0]
+    S = np.asarray(splat.scale)[0]
+    cov_fw = R @ np.diag(S ** 2) @ R.T
+    np.testing.assert_allclose(cov_js, cov_fw, atol=1e-5)
+
+
+def test_js_parse_roundtrip(tmp_path):
+    """Write a GS PLY with the framework, parse it with a numpy port of
+    the viewer's binary reader, and compare every splat attribute."""
+    import jax.numpy as jnp
+    from comfy3d_tpu.core.gaussian import GaussianSplat
+    from comfy3d_tpu.core.io.ply import save_gs_ply
+
+    rng = np.random.RandomState(1)
+    n = 17
+    splat = GaussianSplat.from_points(
+        rng.randn(n, 3).astype(np.float32),
+        colors=rng.rand(n, 3).astype(np.float32))
+    splat = dataclasses.replace(
+        splat, rot_raw=jnp.asarray(rng.randn(n, 4), jnp.float32))
+    path = str(tmp_path / "t.ply")
+    save_gs_ply(path, splat)
+
+    raw = open(path, "rb").read()
+    head = raw[:8192].decode("latin1")
+    end = head.index("end_header")
+    props = []
+    count = 0
+    for ln in head[:end].split("\n"):
+        p = ln.strip().split()
+        if p[:2] == ["element", "vertex"]:
+            count = int(p[2])
+        elif p[:2] == ["property", "float"]:
+            props.append(p[2])
+    offset = raw.index(b"\n", raw.index(b"end_header")) + 1
+    body = np.frombuffer(raw, np.float32, count * len(props), offset)
+    body = body.reshape(count, len(props))
+    col = {name: body[:, i] for i, name in enumerate(props)}
+
+    assert count == splat.num_capacity
+    np.testing.assert_allclose(
+        np.stack([col["x"], col["y"], col["z"]], -1),
+        np.asarray(splat.xyz), atol=1e-6)
+    C0 = 0.28209479177387814
+    rgb_js = np.clip(np.stack([col["f_dc_0"], col["f_dc_1"],
+                               col["f_dc_2"]], -1) * C0 + 0.5, 0, 1)
+    # DC band → RGB must match the framework's color convention
+    # (view-independent DC = colors_toward any direction at sh_degree 0)
+    fw_rgb = np.asarray(splat.colors_toward(
+        np.array([0.0, 0.0, 1.0], np.float32)))
+    np.testing.assert_allclose(rgb_js[:n], np.clip(fw_rgb[:n], 0, 1),
+                               atol=1e-5)
+    alpha_js = 1.0 / (1.0 + np.exp(-col["opacity"]))
+    np.testing.assert_allclose(alpha_js[:n],
+                               np.asarray(splat.opacity)[:n], atol=1e-5)
