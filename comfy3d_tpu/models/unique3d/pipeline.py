@@ -107,6 +107,12 @@ class Unique3DImage2MVPipeline:
         }
         return cls(params, cfg)
 
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "Unique3DImage2MVPipeline":
+        from .convert import load_image2mv_dir
+        return load_image2mv_dir(cls, path, **cfg_overrides)
+
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn
 
@@ -198,6 +204,12 @@ class Unique3DImage2NormalPipeline:
                 k2, jnp.zeros((1, 64, 64, 3)))["params"],
         }
         return cls(params, cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "Unique3DImage2NormalPipeline":
+        from .convert import load_image2normal_dir
+        return load_image2normal_dir(cls, path, **cfg_overrides)
 
     def set_vision_encoder(self, fn):
         self.vision_encoder = fn

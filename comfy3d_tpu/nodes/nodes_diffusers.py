@@ -65,13 +65,21 @@ def _era3d(ckpt_dir=None):
     return Era3DPipeline.init_random()
 
 
-def _unique3d_mv():
+def _unique3d_mv(ckpt_dir=None):
     from ..models.unique3d import Unique3DImage2MVPipeline
+    if ckpt_dir:
+        sub = os.path.join(ckpt_dir, "image2mvimage")
+        return Unique3DImage2MVPipeline.from_pretrained(
+            sub if os.path.isdir(sub) else ckpt_dir)
     return Unique3DImage2MVPipeline.init_random()
 
 
-def _unique3d_single():
+def _unique3d_single(ckpt_dir=None):
     from ..models.unique3d import Unique3DImage2NormalPipeline
+    if ckpt_dir:
+        sub = os.path.join(ckpt_dir, "image2normal")
+        return Unique3DImage2NormalPipeline.from_pretrained(
+            sub if os.path.isdir(sub) else ckpt_dir)
     return Unique3DImage2NormalPipeline.init_random()
 
 

@@ -1,0 +1,131 @@
+"""Unique3D `from_pretrained` against fabricated Wuvin/Unique3D
+layouts: image2mvimage (cat-condition UNet + view-label class
+embedding) and image2normal (reference-attention img2img), each with
+VAE and CLIP vision encoder. Checks key bijection over the UNet plus a
+2-step run through each pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+import diffusers_fixture as fx
+
+V = 4
+
+UNET_MV_CFG = {
+    "in_channels": 8, "out_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "cross_attention_dim": 16, "attention_head_dim": [2, 2],
+    "norm_num_groups": 4, "use_linear_projection": True,
+    "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+    "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D"],
+    "num_class_embeds": 8, "sample_size": 4,
+}
+VAE_CFG = {
+    "in_channels": 3, "latent_channels": 4,
+    "block_out_channels": [8, 16], "layers_per_block": 1,
+    "norm_num_groups": 4, "scaling_factor": 0.18215,
+}
+VISION_CFG = {
+    "architectures": ["CLIPVisionModelWithProjection"],
+    "hidden_size": 8, "num_hidden_layers": 2,
+    "num_attention_heads": 2, "intermediate_size": 16,
+    "image_size": 28, "patch_size": 14, "projection_dim": 16,
+    "hidden_act": "gelu",
+}
+
+
+def _fabricate(root, mv: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from comfy3d_tpu.models.clip import (CLIPVisionConfig,
+                                         CLIPVisionEncoder, clip_rules)
+    from comfy3d_tpu.models.diffusion import convert as dconv
+    from comfy3d_tpu.models.diffusion.unet import UNet2DCondition
+    from comfy3d_tpu.models.diffusion.vae import AutoencoderKL
+
+    rng = np.random.default_rng(0 if mv else 1)
+    ucfg_json = dict(UNET_MV_CFG)
+    if not mv:
+        ucfg_json.pop("num_class_embeds")
+    ucfg = dconv.unet_config_from_json(ucfg_json)
+    b = V if mv else 1
+    kwargs = {}
+    if mv:
+        kwargs["class_emb"] = jnp.zeros((b, 32))
+    uparams = UNet2DCondition(ucfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((b, 4, 4, 8)),
+        jnp.zeros((b,)), jnp.zeros((b, 1, 16)), **kwargs)["params"]
+    keys = fx.enumerate_unet_keys(
+        ucfg_json["down_block_types"], ucfg_json["up_block_types"],
+        ucfg_json["block_out_channels"], 1)
+    sd = fx.fabricate_state_dict(keys, dconv.unet_rules(), uparams, rng)
+    if mv:
+        sd["class_embedding.weight"] = \
+            rng.standard_normal((8, 32)).astype(np.float32) * 0.05
+    fx.write_component(os.path.join(root, "unet"), ucfg_json, sd)
+
+    vcfg = dconv.vae_config_from_json(VAE_CFG)
+    vparams = AutoencoderKL(vcfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))["params"]
+    sd = fx.fabricate_state_dict(
+        fx.enumerate_vae_keys(VAE_CFG["block_out_channels"], 1),
+        dconv.vae_rules(), vparams, rng)
+    fx.write_component(os.path.join(root, "vae"), VAE_CFG, sd)
+
+    vscfg = CLIPVisionConfig(hidden=8, layers=2, heads=2, mlp_dim=16,
+                             image_size=28, patch=14, projection_dim=16,
+                             act="gelu")
+    vsparams = CLIPVisionEncoder(vscfg).init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 28, 28, 3)))["params"]
+    sd = fx.fabricate_state_dict(fx.enumerate_clip_keys(2, True),
+                                 clip_rules(), vsparams, rng)
+    fx.write_component(os.path.join(root, "image_encoder"),
+                       VISION_CFG, sd, weights_name="model.safetensors")
+
+
+@pytest.fixture(scope="module")
+def repo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("unique3d")
+    _fabricate(str(root / "image2mvimage"), mv=True)
+    _fabricate(str(root / "image2normal"), mv=False)
+    return str(root)
+
+
+def test_mv_from_pretrained(repo):
+    from comfy3d_tpu.models.unique3d import Unique3DImage2MVPipeline
+    pipe = Unique3DImage2MVPipeline.from_pretrained(
+        os.path.join(repo, "image2mvimage"),
+        prompt_tokens=1)
+    assert pipe.cfg.num_cls == 8
+    assert pipe.cfg.image_size == 32
+    assert pipe.vision_encoder is not None
+    assert "cls" in pipe.params
+    img = np.random.default_rng(3).random((32, 32, 3), np.float32)
+    views = np.asarray(pipe(img, num_inference_steps=2))
+    assert views.shape == (V, 32, 32, 3)
+    assert np.isfinite(views).all()
+
+
+def test_normal_from_pretrained(repo):
+    from comfy3d_tpu.models.unique3d import Unique3DImage2NormalPipeline
+    pipe = Unique3DImage2NormalPipeline.from_pretrained(
+        os.path.join(repo, "image2normal"), prompt_tokens=1)
+    assert pipe.vision_encoder is not None
+    img = np.random.default_rng(4).random((32, 32, 3), np.float32)
+    out = np.asarray(pipe(img, num_inference_steps=2))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_node_factory_loads(repo, monkeypatch):
+    import comfy3d_tpu.nodes.nodes_diffusers as nd
+    monkeypatch.setattr(nd, "CKPT_DIFFUSERS_PATH",
+                        os.path.dirname(repo))
+    node = nd.Load_Diffusers_Pipeline()
+    (pipe,) = node.load_diffusers_pipe(
+        "Unique3DImage2MVCustomPipeline",
+        repo_id=os.path.basename(repo))
+    assert pipe.vision_encoder is not None   # real load, not random
