@@ -56,3 +56,20 @@ class Hunyuan3DV1MVDPipeline(Zero123PlusPipeline):
         obj = cls(pipe.params, cfg)
         obj.variant = variant
         return obj
+
+    @classmethod
+    def from_pretrained(cls, path: str, variant: str = "std",
+                        **cfg_overrides) -> "Hunyuan3DV1MVDPipeline":
+        """Load the Tencent-Hunyuan/Hunyuan3D-1 MVD layout: the repo
+        nests two diffusers pipelines (`mvd_std/`, `mvd_lite/`) built
+        on the same reference-attention grid mechanism the substrate
+        implements; `path` may be the repo root or a pipeline dir."""
+        import os
+        sub = os.path.join(path, f"mvd_{variant}")
+        if os.path.isdir(sub):
+            path = sub
+        kw = dict(height=960, width=640)
+        kw.update(cfg_overrides)
+        pipe = super().from_pretrained(path, **kw)   # binds cls → V1
+        pipe.variant = variant
+        return pipe

@@ -83,13 +83,19 @@ def _unique3d_single(ckpt_dir=None):
     return Unique3DImage2NormalPipeline.init_random()
 
 
-def _hunyuan_mvd_std():
+def _hunyuan_mvd_std(ckpt_dir=None):
     from ..models.hunyuan3d_v1 import Hunyuan3DV1MVDPipeline
+    if ckpt_dir:
+        return Hunyuan3DV1MVDPipeline.from_pretrained(ckpt_dir,
+                                                      variant="std")
     return Hunyuan3DV1MVDPipeline.init_random(variant="std")
 
 
-def _hunyuan_mvd_lite():
+def _hunyuan_mvd_lite(ckpt_dir=None):
     from ..models.hunyuan3d_v1 import Hunyuan3DV1MVDPipeline
+    if ckpt_dir:
+        return Hunyuan3DV1MVDPipeline.from_pretrained(ckpt_dir,
+                                                      variant="lite")
     return Hunyuan3DV1MVDPipeline.init_random(variant="lite")
 
 

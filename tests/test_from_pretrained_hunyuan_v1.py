@@ -1,0 +1,41 @@
+"""Hunyuan3D-V1 MVD `from_pretrained`: the repo nests zero123plus-style
+diffusers pipelines under mvd_std/ and mvd_lite/ — fabricate that
+layout (reusing the zero123plus fixture) and load through the V1
+subclass + the Load_Diffusers_Pipeline factory."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from test_from_pretrained_zero123plus import ckpt_dir  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def v1_repo(ckpt_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("hunyuan3d-1")
+    shutil.copytree(ckpt_dir, str(root / "mvd_std"))
+    return str(root)
+
+
+def test_v1_mvd_from_pretrained(v1_repo):
+    from comfy3d_tpu.models.hunyuan3d_v1 import Hunyuan3DV1MVDPipeline
+    pipe = Hunyuan3DV1MVDPipeline.from_pretrained(
+        v1_repo, variant="std", height=48, width=32,
+        cond_size=16)
+    assert pipe.variant == "std"
+    assert pipe.vision_encoder is not None     # real load
+    img = np.random.default_rng(0).random((16, 16, 3), np.float32)
+    grid = np.asarray(pipe(img, num_inference_steps=2))
+    assert grid.shape[-1] == 3
+    assert np.isfinite(grid).all()
+
+
+def test_node_factory_loads_v1(v1_repo, monkeypatch):
+    import comfy3d_tpu.nodes.nodes_diffusers as nd
+    monkeypatch.setattr(nd, "CKPT_DIFFUSERS_PATH",
+                        os.path.dirname(v1_repo))
+    (pipe,) = nd.Load_Diffusers_Pipeline().load_diffusers_pipe(
+        "HunYuan3DMVDStdPipeline", repo_id=os.path.basename(v1_repo))
+    assert pipe.vision_encoder is not None
