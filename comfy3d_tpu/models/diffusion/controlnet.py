@@ -20,6 +20,11 @@ from .unet import (Downsample, ResnetBlock, SpatialTransformer,
 class ControlNetEncoder(nn.Module):
     cfg: UNetConfig = UNetConfig()
     cond_channels: int = 4           # conditioning latent channels
+    # ControlNetVAE semantics (Stable3DGen controlnetvae.py:23-200):
+    # the VAE latent IS the sample, the conditioning-embedding convs are
+    # never called, and the residuals pass through RAW (the reference's
+    # `controlnet_down_blocks` zero convs are skipped at forward time)
+    raw_residuals: bool = False
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -35,17 +40,20 @@ class ControlNetEncoder(nn.Module):
 
         h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
                     name="conv_in")(sample)
-        # conditioning embedding (zero-init output conv)
-        e = nn.Conv(c.block_out_channels[0] // 4, (3, 3), padding=1,
-                    name="cond_embed_0")(conditioning)
-        e = nn.Conv(c.block_out_channels[0] // 2, (3, 3), padding=1,
-                    name="cond_embed_1")(nn.silu(e))
-        e = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
-                    kernel_init=nn.initializers.zeros,
-                    name="cond_embed_out")(nn.silu(e))
-        h = h + e
+        if not self.raw_residuals:
+            # conditioning embedding (zero-init output conv)
+            e = nn.Conv(c.block_out_channels[0] // 4, (3, 3), padding=1,
+                        name="cond_embed_0")(conditioning)
+            e = nn.Conv(c.block_out_channels[0] // 2, (3, 3), padding=1,
+                        name="cond_embed_1")(nn.silu(e))
+            e = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
+                        kernel_init=nn.initializers.zeros,
+                        name="cond_embed_out")(nn.silu(e))
+            h = h + e
 
         def zconv(x, i):
+            if self.raw_residuals:
+                return x
             return nn.Conv(x.shape[-1], (1, 1),
                            kernel_init=nn.initializers.zeros,
                            name=f"zero_conv_{i}")(x)
@@ -86,7 +94,11 @@ class ControlNetEncoder(nn.Module):
             norm_groups=c.norm_groups, name="mid_attn")(
             h, encoder_hidden_states)
         h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_1")(h, temb)
-        mid = nn.Conv(mid_ch, (1, 1), kernel_init=nn.initializers.zeros,
-                      name="zero_conv_mid")(h)
+        if self.raw_residuals:
+            mid = h
+        else:
+            mid = nn.Conv(mid_ch, (1, 1),
+                          kernel_init=nn.initializers.zeros,
+                          name="zero_conv_mid")(h)
         s = conditioning_scale
         return [r * s for r in residuals], mid * s

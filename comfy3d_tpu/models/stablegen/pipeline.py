@@ -33,10 +33,12 @@ class YosoConfig:
 
 
 class YosoNormalsPipeline:
-    def __init__(self, params, cfg: YosoConfig = YosoConfig()):
+    def __init__(self, params, cfg: YosoConfig = YosoConfig(),
+                 raw_residuals: bool = False):
         self.cfg = cfg
         self.unet = UNet2DCondition(cfg.unet)
-        self.controlnet = ControlNetEncoder(cfg.unet)
+        self.controlnet = ControlNetEncoder(cfg.unet,
+                                            raw_residuals=raw_residuals)
         self.vae = AutoencoderKL(cfg.vae)
         self.params = params
         self._run = jax.jit(self._run_impl)
@@ -59,6 +61,35 @@ class YosoNormalsPipeline:
                 k3, jnp.zeros((1, 64, 64, 3)))["params"],
         }
         return cls(params, cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **cfg_overrides
+                        ) -> "YosoNormalsPipeline":
+        """Load a Stable-X/yoso-normal-* diffusers directory: unet/,
+        vae/, controlnet/ (ControlNetVAEModel — the plain SD down+mid
+        encoder whose state dict follows diffusers ControlNetModel
+        naming; the conditioning-embedding and zero-conv weights it
+        carries are dead at forward time, controlnetvae.py:161-200)."""
+        import os
+
+        from ..convert import convert_with_rules
+        from ..diffusion.convert import (load_unet_dir, load_vae_dir,
+                                         unet_rules)
+        from ..loader import load_dir_state_dict
+
+        unet_cfg, unet_params, _ = load_unet_dir(
+            os.path.join(path, "unet"))
+        vae_cfg, vae_params, _ = load_vae_dir(os.path.join(path, "vae"))
+        cn_dir = os.path.join(path, "controlnet")
+        cn_params = convert_with_rules(load_dir_state_dict(cn_dir),
+                                       unet_rules(), strict=False)
+        kw = dict(unet=unet_cfg, vae=vae_cfg,
+                  prompt_dim=unet_cfg.cross_attention_dim)
+        kw.update(cfg_overrides)
+        cfg = YosoConfig(**kw)
+        params = {"unet": unet_params, "vae": vae_params,
+                  "controlnet": cn_params}
+        return cls(params, cfg, raw_residuals=True)
 
     def _run_impl(self, params, image):
         cfg = self.cfg

@@ -117,8 +117,10 @@ def _triposg_scribble(ckpt_dir=None):
     return pipe
 
 
-def _stablex():
+def _stablex(ckpt_dir=None):
     from ..models.stablegen import YosoNormalsPipeline
+    if ckpt_dir:
+        return YosoNormalsPipeline.from_pretrained(ckpt_dir)
     return YosoNormalsPipeline.init_random()
 
 

@@ -25,7 +25,18 @@ class Load_StableGen_Trellis_Pipeline:
         }}
 
     def load(self, repo_id="Stable-X/trellis-normal-v0-1"):
+        import os
+        from . import base
         from ..models.trellis import TrellisImageTo3DPipeline
+        from ..models.trellis import convert as trellis_convert
+        for cand in (os.path.join(base.CKPT_ROOT_PATH,
+                                  repo_id.split("/")[-1]),
+                     os.path.join(base.CKPT_ROOT_PATH, "Diffusers",
+                                  repo_id)):
+            if os.path.exists(os.path.join(cand, "pipeline.json")):
+                print(f"[Load_StableGen_Trellis_Pipeline] loading "
+                      f"{cand}")
+                return (trellis_convert.from_pretrained(cand),)
         print(f"[Load_StableGen_Trellis_Pipeline] initializing random "
               f"weights (no local checkpoints for {repo_id})")
         return (TrellisImageTo3DPipeline.init_random(),)
@@ -48,6 +59,11 @@ class Load_StableGen_StableX_Pipeline:
 
     def load(self, model_variant="yoso-normal-v1-8-1"):
         from ..models.stablegen import YosoNormalsPipeline
+        from .nodes_mvdiffusion import _local_ckpt
+        ckpt = _local_ckpt(f"Stable-X/{model_variant}")
+        if ckpt:
+            print(f"[Load_StableGen_StableX_Pipeline] loading {ckpt}")
+            return (YosoNormalsPipeline.from_pretrained(ckpt),)
         print("[Load_StableGen_StableX_Pipeline] initializing random "
               "weights")
         return (YosoNormalsPipeline.init_random(),)
