@@ -64,16 +64,24 @@ def load_state_dict(path: str) -> Mapping[str, np.ndarray]:
     return {k: to_numpy(v) for k, v in sd.items()}
 
 
+# Sentinel a rule returns for keys that are intentionally dropped
+# (non-parameter buffers) — not reported as unconverted.
+DROP = ("__drop__", None)
+
+
 def convert_with_rules(state_dict: Mapping[str, np.ndarray],
                        rules: Callable[[str, np.ndarray],
                                        tuple[str, np.ndarray] | None],
                        strict: bool = True) -> Dict:
-    """Apply per-key rules; rules return (flax_path, array) or None to
-    skip. Returns a nested flax param dict."""
+    """Apply per-key rules; rules return (flax_path, array), DROP for an
+    intentional skip, or None for an unrecognized key. Returns a nested
+    flax param dict."""
     tree: Dict = {}
     unused = []
     for key, val in state_dict.items():
         out = rules(key, to_numpy(val))
+        if out is DROP:
+            continue
         if out is None:
             unused.append(key)
             continue

@@ -1,3 +1,3 @@
-from .pipeline import CRMConfig, CRMReconPipeline
+from .pipeline import CRMConfig, CRMModel, CRMReconPipeline
 
-__all__ = ["CRMConfig", "CRMReconPipeline"]
+__all__ = ["CRMConfig", "CRMModel", "CRMReconPipeline"]

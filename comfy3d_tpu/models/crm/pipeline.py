@@ -1,12 +1,17 @@
 """CRM — Convolutional Reconstruction Model.
 
-Counterpart of `Gen_3D_Modules/CRM/model/crm/model.py:23-160`: six
-orbit views of RGB + canonical-coordinate maps (CCMs) are rolled out
-into a 256×768 triplane strip, refined by a conv UNet
-(`model/archs/unet.py` UNet2DModel wrapper), queried by TetTexNet and
-decoded by sdf/rgb/weight MLPs into a FlexiCubes-class mesh (our
+Counterpart of `Gen_3D_Modules/CRM/model/crm/model.py:23-160` +
+`model/crm/sampler.py:116-186`: six orbit views of RGB + canonical
+coordinate maps (CCMs) are rolled out into a 256×768 two-row triplane
+strip (`util/utils.py:157-193` get_tri, blender layout), lightly noised
+at t=20 with the SD-2.1 DDIM schedule (sampler.py:145-152), refined by a
+diffusers `UNet2DModel` (model/archs/unet.py UNetPP, in_channels=32 with
+a learned 20-channel plane), queried by TetTexNet (sum over the three
+planes — specs_objaverse_total.json fea_concat=false) and decoded by
+sdf/rgb/weight MLPs with the sphere pre-train offset
+(model.py:66,93: sdf + radius − ‖x‖) into a FlexiCubes-class mesh (our
 marching-tets engine extracts; the 21 predicted cube weights ride along
-for parity work, as in InstantMesh).
+for parity).
 
 The upstream 6-view pixel+CCM diffusion (`imagedream` vendored LDM) is
 the MVDream family — `models.mvdream.MVDreamPipeline` with 6 views
@@ -16,7 +21,7 @@ covers that stage; this module is the reconstructor.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -24,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import tetra
-from ..triposr.model import grid_sample_2d
+from .unet2d import UNet2DModel, UNet2DModelConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,82 +37,86 @@ class CRMConfig:
     view_size: int = 256
     plane_resolution: int = 256
     c_dim: int = 32
-    channels: Tuple[int, ...] = (64, 128, 128, 256, 256)
-    attn_from: int = 3               # blocks ≥ this index get attention
     mlp_hidden: int = 512
     tet_grid_size: int = 80
-    scale: float = 1.05
+    # specs_objaverse_total.json Input.scale / Pretrain.radius
+    scale: float = 0.95
+    sphere_radius: float = 0.5
+    noise_t: int = 20
+    unet: UNet2DModelConfig = UNet2DModelConfig.crm()
 
     @classmethod
     def tiny(cls) -> "CRMConfig":
         return cls(view_size=32, plane_resolution=32, c_dim=8,
-                   channels=(8, 16), attn_from=1, mlp_hidden=16,
-                   tet_grid_size=12)
+                   mlp_hidden=16, tet_grid_size=12,
+                   unet=UNet2DModelConfig.tiny())
 
 
-class _AttnBlock(nn.Module):
-    channels: int
+def grid_sample_border_ac(plane, uv):
+    """torch grid_sample(align_corners=True, padding_mode='border') —
+    TetTexNet's sampling (shape_texture_net.py:58)."""
+    h, w = plane.shape[0], plane.shape[1]
+    x = jnp.clip((uv[..., 0] + 1.0) * 0.5 * (w - 1), 0, w - 1)
+    y = jnp.clip((uv[..., 1] + 1.0) * 0.5 * (h - 1), 0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
 
-    @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
-        hid = nn.GroupNorm(min(32, c), epsilon=1e-6, name="norm")(x)
-        hid = hid.reshape(b, h * w, c)
-        q = nn.Dense(c, name="q")(hid)
-        k = nn.Dense(c, name="k")(hid)
-        v = nn.Dense(c, name="v")(hid)
-        out = jax.nn.dot_product_attention(q[:, :, None], k[:, :, None],
-                                           v[:, :, None])[:, :, 0]
-        out = nn.Dense(c, name="proj")(out)
-        return x + out.reshape(b, h, w, c)
+    def fetch(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        return plane[yi, xi]
 
-
-class _Res(nn.Module):
-    channels: int
-
-    @nn.compact
-    def __call__(self, x):
-        h = nn.GroupNorm(min(32, x.shape[-1]), epsilon=1e-6,
-                         name="norm1")(x)
-        h = nn.Conv(self.channels, (3, 3), padding=1,
-                    name="conv1")(nn.silu(h))
-        h = nn.GroupNorm(min(32, self.channels), epsilon=1e-6,
-                         name="norm2")(h)
-        h = nn.Conv(self.channels, (3, 3), padding=1,
-                    name="conv2")(nn.silu(h))
-        if x.shape[-1] != self.channels:
-            x = nn.Conv(self.channels, (1, 1), name="shortcut")(x)
-        return x + h
+    t00 = fetch(x0, y0)
+    t10 = fetch(x0 + 1, y0)
+    t01 = fetch(x0, y0 + 1)
+    t11 = fetch(x0 + 1, y0 + 1)
+    return ((1 - fx) * (1 - fy) * t00 + fx * (1 - fy) * t10
+            + (1 - fx) * fy * t01 + fx * fy * t11)
 
 
-class TriplaneUNet(nn.Module):
-    """UNetPP role: refine the rolled-out triplane strip."""
-    cfg: CRMConfig
+def _rot90(img, k):
+    """torch.rot90(dims=[1,2]) on [H, W, C] (CCW in array coords)."""
+    return np.rot90(img, k=k, axes=(0, 1))
 
-    @nn.compact
-    def __call__(self, x):
-        c = self.cfg
-        skips = []
-        h = nn.Conv(c.channels[0], (3, 3), padding=1, name="conv_in")(x)
-        for i, ch in enumerate(c.channels):
-            h = _Res(ch, name=f"down_{i}_res")(h)
-            if i >= c.attn_from:
-                h = _AttnBlock(ch, name=f"down_{i}_attn")(h)
-            skips.append(h)
-            if i < len(c.channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
-                            name=f"down_{i}_pool")(h)
-        h = _Res(c.channels[-1], name="mid_res")(h)
-        for i in reversed(range(len(c.channels))):
-            if i < len(c.channels) - 1:
-                b, hh, ww, ch_ = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, ch_),
-                                     "nearest")
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = _Res(c.channels[i], name=f"up_{i}_res")(h)
-            if i >= c.attn_from:
-                h = _AttnBlock(c.channels[i], name=f"up_{i}_attn")(h)
-        return nn.Conv(c.c_dim, (3, 3), padding=1, name="conv_out")(h)
+
+def rollout_strip(views: np.ndarray, fix: bool = False) -> np.ndarray:
+    """`get_tri(..., blender=True, scale=1)` (util/utils.py:157-193) on
+    re-ordered views (`sampler.py:124-130` get_imgs puts the 6th strip
+    tile first). views [6, H, W, 3] → [2H→channel-stacked] strip
+    [H, 3W, 6]: two 3-tile rows concatenated along the channel axis."""
+    v = [np.asarray(views[i], np.float32) for i in (5, 0, 1, 2, 3, 4)]
+    t0 = _rot90(v[2], 2)
+    t1 = v[4][::-1, ::-1]                       # flip(2).flip(1)
+    t2 = _rot90(_rot90(v[0], 3)[:, ::-1], 2)
+    t3 = _rot90(_rot90(v[5], 2)[:, ::-1], 2)
+    t4 = _rot90(v[1], 2)[:, ::-1]               # flip(1).flip(1).flip(2)
+    t5 = _rot90(v[3], 1)[::-1, ::-1]
+    if fix:      # zero the off-plane CCM channels (utils.py:175-189)
+        t0, t3 = t0.copy(), t3.copy()
+        t1, t4 = t1.copy(), t4.copy()
+        t2, t5 = t2.copy(), t5.copy()
+        t0[..., 1] = t0[..., 2] = 0
+        t3[..., 1] = t3[..., 2] = 0
+        t1[..., 0] = t1[..., 1] = 0
+        t4[..., 0] = t4[..., 1] = 0
+        t2[..., 0] = t2[..., 2] = 0
+        t5[..., 0] = t5[..., 2] = 0
+    row1 = np.concatenate([t0, t1, t2], axis=1)     # [H, 3W, 3]
+    row2 = np.concatenate([t3, t4, t5], axis=1)
+    return np.concatenate([row1, row2], axis=-1)    # [H, 3W, 6]
+
+
+def ddim_add_noise(x, noise, t: int, num_train_timesteps: int = 1000,
+                   beta_start: float = 0.00085, beta_end: float = 0.012):
+    """stabilityai/stable-diffusion-2-1-base DDIMScheduler.add_noise
+    (scaled_linear betas) — the light perturbation at t=20
+    (sampler.py:145-149)."""
+    betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                        num_train_timesteps, dtype=np.float64) ** 2
+    acp = float(np.cumprod(1.0 - betas)[t])
+    return np.sqrt(acp) * x + np.sqrt(1.0 - acp) * noise
 
 
 class CRMModel(nn.Module):
@@ -115,46 +124,72 @@ class CRMModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.unet2 = TriplaneUNet(c, name="unet2")
+        self.unet2 = UNet2DModel(c.unet, name="unet2")
+        if c.unet.in_channels > 12:
+            self.learned_plane = self.param(
+                "learned_plane", nn.initializers.zeros,
+                (c.plane_resolution, 3 * c.plane_resolution,
+                 c.unet.in_channels - 12))
         h = c.mlp_hidden
         self.sdf_0 = nn.Dense(h, name="sdf_0")
-        self.sdf_1 = nn.Dense(4, name="sdf_1")     # sdf + deform(3)
+        self.sdf_1 = nn.Dense(h, name="sdf_1")
+        self.sdf_2 = nn.Dense(4, name="sdf_2")     # sdf + deform(3)
         self.rgb_0 = nn.Dense(h, name="rgb_0")
-        self.rgb_1 = nn.Dense(3, name="rgb_1")
+        self.rgb_1 = nn.Dense(h, name="rgb_1")
+        self.rgb_2 = nn.Dense(3, name="rgb_2")
         self.weight_0 = nn.Dense(h, name="weight_0")
         self.weight_1 = nn.Dense(21, name="weight_1")
 
-    def __call__(self, views):
-        """views [B, 6, S, S, 6] (rgb+ccm per view) → triplane strip
-        [B, P, 3P, c_dim] (rollout: 2 rows × 3 views → 3 planes à la
-        CRM's 256×768 layout)."""
+    def __call__(self, strip, t):
+        """strip [B, P, 3P, 12] rolled-out rgb+ccm → refined triplane
+        [B, P, 3P, c_dim]."""
         c = self.cfg
-        b, v, s, _, ch = views.shape
-        strip = views.transpose(0, 2, 1, 3, 4).reshape(b, s, v * s, ch)
-        strip = jax.image.resize(
-            strip, (b, c.plane_resolution, 3 * c.plane_resolution, ch),
-            "bilinear")
-        return self.unet2(strip)
+        if c.unet.in_channels > 12:
+            lp = jnp.broadcast_to(
+                self.learned_plane,
+                (strip.shape[0],) + self.learned_plane.shape)
+            strip = jnp.concatenate([strip, lp], axis=-1)
+        return self.unet2(strip, t)
 
-    def query(self, planes, pts):
-        """planes [P, 3P, C] strip; pts [N, 3] → (sdf, deform, rgb,
-        weights)."""
+    def query_feat(self, planes, pts):
+        """TetTexNet (shape_texture_net.py:14-36): strip [P, 3P, C],
+        pts [N, 3] in [-scale, scale] → summed plane features [N, C]
+        (fea_concat=false)."""
         c = self.cfg
         p = c.plane_resolution
-        tri = planes.reshape(p, 3, p, c.c_dim).transpose(1, 0, 2, 3)
-        u = pts / c.scale
-        f_xy = grid_sample_2d(tri[0], u[:, (0, 1)])
-        f_xz = grid_sample_2d(tri[1], u[:, (0, 2)])
-        f_yz = grid_sample_2d(tri[2], u[:, (1, 2)])
-        feat = jnp.concatenate([f_xy, f_xz, f_yz], -1)
-        sd = self.sdf_1(nn.silu(self.sdf_0(feat)))
-        rgb = jax.nn.sigmoid(self.rgb_1(nn.silu(self.rgb_0(feat))))
-        w = self.weight_1(nn.silu(self.weight_0(feat))) * 0.1
-        return sd[:, 0], jnp.tanh(sd[:, 1:]) / c.tet_grid_size, rgb, w
+        xy, yz, zx = (planes[:, :p], planes[:, p:2 * p],
+                      planes[:, 2 * p:])
+        f = grid_sample_border_ac(xy, pts[:, (0, 1)])
+        f += grid_sample_border_ac(yz, pts[:, (1, 2)])
+        f += grid_sample_border_ac(zx, pts[:, (2, 0)])
+        return f
 
-    def init_all(self, views, pts):
-        planes = self(views)
-        return self.query(planes[0], pts)
+    def query(self, planes, pts):
+        """→ (sdf, deform, rgb, cube-weight-logits·0.1). SDF carries the
+        sphere pre-train offset (model.py:66,93) and deform the
+        flexicubes scaling (util/renderer.py:23-25)."""
+        c = self.cfg
+        feat = self.query_feat(planes, pts)
+        sd = self.sdf_2(nn.relu(self.sdf_1(nn.relu(self.sdf_0(feat)))))
+        rgb = self.rgb_2(nn.relu(self.rgb_1(nn.relu(self.rgb_0(feat)))))
+        sdf = (sd[:, 0] + c.sphere_radius
+               - jnp.linalg.norm(pts, axis=-1))
+        deform = (jnp.tanh(sd[:, 1:]) / c.tet_grid_size
+                  * (c.scale / 0.95) * 0.5)
+        # weightMlp input: the 8 cube-corner features concatenated
+        # (model.py:80-83); per-point here, gathered by the caller
+        return sdf, deform, rgb, None
+
+    def cube_weights(self, corner_feats):
+        """corner_feats [M, 8·C] → [M, 21] flexicubes weights ·0.1."""
+        return self.weight_1(nn.silu(self.weight_0(corner_feats))) * 0.1
+
+    def init_all(self, strip, pts):
+        planes = self(strip, jnp.zeros((strip.shape[0],)))
+        out = self.query(planes[0], pts)
+        w = self.cube_weights(jnp.tile(self.query_feat(planes[0], pts),
+                                       (1, 8)))
+        return out, w
 
 
 class CRMReconPipeline:
@@ -163,26 +198,58 @@ class CRMReconPipeline:
         self.model = CRMModel(cfg)
         self.params = params
         self._forward = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x))
+            lambda p, x, t: self.model.apply({"params": p}, x, t))
 
     @classmethod
     def init_random(cls, key=None, cfg: Optional[CRMConfig] = None
                     ) -> "CRMReconPipeline":
         cfg = cfg or CRMConfig()
         key = key if key is not None else jax.random.PRNGKey(0)
-        s = cfg.view_size
+        p = cfg.plane_resolution
         params = CRMModel(cfg).init(
-            key, jnp.zeros((1, 6, s, s, 6)), jnp.zeros((5, 3)),
+            key, jnp.zeros((1, p, 3 * p, 12)), jnp.zeros((5, 3)),
             method=CRMModel.init_all)["params"]
         return cls(params, cfg)
 
-    def __call__(self, images, ccms, with_color: bool = True):
+    @classmethod
+    def from_pretrained(cls, ckpt_path: str,
+                        cfg: Optional[CRMConfig] = None
+                        ) -> "CRMReconPipeline":
+        """Load the public `CRM.pth` (reference nodes.py:2341-2380 →
+        ConvolutionalReconstructionModel(specs) + load_state_dict)."""
+        from .convert import convert_crm
+        from .. import convert as C
+        cfg = cfg or CRMConfig()
+        sd = {k: C.to_numpy(v)
+              for k, v in C.load_state_dict(ckpt_path).items()}
+        return cls(convert_crm(sd), cfg)
+
+    def __call__(self, images, ccms, with_color: bool = True, seed=123):
         """images, ccms [6, S, S, 3] in [0,1] → Mesh."""
         c = self.cfg
-        views = jnp.concatenate([jnp.asarray(images, jnp.float32),
-                                 jnp.asarray(ccms, jnp.float32)],
-                                axis=-1)[None]
-        planes = self._forward(self.params, views)[0]
+        imgs = np.asarray(images, np.float32)
+        xyz = np.asarray(ccms, np.float32)[..., ::-1]  # BGR→RGB (:119)
+        if imgs.shape[1] != c.view_size:
+            imgs = np.asarray(jax.image.resize(
+                jnp.asarray(imgs), (6, c.view_size, c.view_size, 3),
+                "bilinear"))
+            xyz = np.asarray(jax.image.resize(
+                jnp.asarray(xyz), (6, c.view_size, c.view_size, 3),
+                "bilinear"))
+        strip = np.concatenate([rollout_strip(imgs),
+                                rollout_strip(xyz, fix=True)], axis=-1)
+        if strip.shape[0] != c.plane_resolution:
+            strip = np.asarray(jax.image.resize(
+                jnp.asarray(strip),
+                (c.plane_resolution, 3 * c.plane_resolution, 12),
+                "bilinear"))
+        noise = (np.random.default_rng(seed)
+                 .standard_normal(strip.shape).astype(np.float32)
+                 * 0.5 + 0.5)
+        strip = ddim_add_noise(strip, noise, c.noise_t)
+        planes = self._forward(self.params, strip[None].astype(
+            np.float32), jnp.full((1,), c.noise_t, jnp.float32))[0]
+
         res = c.tet_grid_size + 1
         lin = np.linspace(-c.scale, c.scale, res, dtype=np.float32)
         gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
@@ -190,11 +257,10 @@ class CRMReconPipeline:
         query = jax.jit(lambda pl, q: self.model.apply(
             {"params": self.params}, pl, q, method=CRMModel.query))
         chunk = 262144
-        sdfs, deforms = [], []
+        sdfs = []
         for i in range(0, len(pts), chunk):
-            sd, df, _, _ = query(planes, jnp.asarray(pts[i:i + chunk]))
+            sd, _df, _, _ = query(planes, jnp.asarray(pts[i:i + chunk]))
             sdfs.append(np.asarray(sd))
-            deforms.append(np.asarray(df))
         grid = np.concatenate(sdfs).reshape(res, res, res)
         mesh = tetra.extract_isosurface(grid, iso=0.0,
                                         bounds=(-c.scale, c.scale))
@@ -204,5 +270,6 @@ class CRMReconPipeline:
             for i in range(0, mv.shape[0], chunk):
                 _, _, rgb, _ = query(planes, mv[i:i + chunk])
                 cols.append(np.asarray(rgb))
-            mesh.vc = np.clip(np.concatenate(cols), 0, 1)
+            # rgbMlp predicts in [-1, 1] (model.py:101-103)
+            mesh.vc = np.clip(np.concatenate(cols) * 0.5 + 0.5, 0, 1)
         return mesh.auto_normal()

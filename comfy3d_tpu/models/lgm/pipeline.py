@@ -27,6 +27,18 @@ class LGMPipeline:
             lambda p, x: self.model.apply({"params": p}, x))
 
     @classmethod
+    def from_pretrained(cls, ckpt_path: str,
+                        cfg: LGMConfig = LGMConfig()) -> "LGMPipeline":
+        """Load the public LGM checkpoint (`model_fp16.safetensors`,
+        reference nodes.py:1807-1815 load path) via the rename rules in
+        convert.py."""
+        from .. import convert as C
+        from .convert import convert_lgm
+        sd = C.load_state_dict(ckpt_path)
+        params = convert_lgm(sd)
+        return cls(params, cfg)
+
+    @classmethod
     def init_random(cls, key=None, cfg: LGMConfig = LGMConfig()
                     ) -> "LGMPipeline":
         key = key if key is not None else jax.random.PRNGKey(0)

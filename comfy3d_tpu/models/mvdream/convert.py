@@ -318,3 +318,70 @@ def load_mvdream_dir(cls, path: str, **cfg_overrides):
         pipe.set_vision_encoder(
             make_vision_hidden_conditioner(vparams, vcfg))
     return pipe
+
+
+def load_ldm_checkpoint(cls, ckpt_path: str, **cfg_overrides):
+    """Build an MVDreamPipeline from a single LDM checkpoint file — the
+    CRM multiview stages (`pixel-diffusion.pth`/`ccm-diffusion.pth`,
+    reference nodes.py:2188-2211 + Configs/CRM_configs/
+    sd_v2_base_ipmv_zero_SNR.yaml): MultiViewUNetModel under
+    `model.diffusion_model.`, LDM AutoencoderKL under
+    `first_stage_model.`, OpenCLIP ViT-H (text + visual towers) under
+    `cond_stage_model.model.`."""
+    import dataclasses
+
+    from ..convert import load_state_dict, to_numpy
+    from ..diffusion.ldm_convert import (convert_open_clip_visual,
+                                         encode_empty_prompt_openclip,
+                                         ldm_vae_rules)
+    from ..diffusion.vae import VAEConfig
+    from ..convert import convert_with_rules
+    from .pipeline import MVDreamConfig
+
+    sd = {k: to_numpy(v) for k, v in load_state_dict(ckpt_path).items()}
+
+    # --- UNet (+ camera MLP + IP resampler) -------------------------
+    unet_sd = {k[len("model.diffusion_model."):]: v
+               for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    raw = {"in_channels": 4, "out_channels": 4, "model_channels": 320,
+           "attention_resolutions": [4, 2, 1], "num_res_blocks": 2,
+           "channel_mult": [1, 2, 4, 4], "num_head_channels": 64,
+           "context_dim": 1024, "camera_dim": 16}
+    if any(k.startswith("image_embed") or "resampler" in k
+           for k in unet_sd):
+        raw["ip_dim"] = 16
+    base_unet = config_from_mv_unet_json(raw)
+
+    num_views = int(cfg_overrides.pop("num_views", 6))
+    vae_cfg = VAEConfig()
+    kw = dict(
+        unet=dataclasses.replace(base_unet, mv_views=num_views),
+        vae=vae_cfg, num_views=num_views,
+        prompt_dim=base_unet.cross_attention_dim,
+        camera_dim=16, ip_dim=base_unet.ip_dim,
+        ip_weight=base_unet.ip_weight, image_size=256)
+    kw.update(cfg_overrides)
+    cfg = MVDreamConfig(**kw)
+
+    trees = convert_mv_unet(unet_sd, cfg.unet.layers_per_block)
+    trees["vae"] = convert_with_rules(
+        sd, ldm_vae_rules(len(vae_cfg.block_out_channels)),
+        strict=False)
+    pipe = cls(trees, cfg)
+
+    if any(k.startswith("cond_stage_model.model.transformer.")
+           for k in sd):
+        emb = encode_empty_prompt_openclip(sd)
+        pipe.default_prompt_embeds = emb
+        pipe.default_negative_embeds = emb
+    if any(k.startswith("cond_stage_model.model.visual.") for k in sd):
+        from ..clip import (CLIPVisionConfig,
+                            make_vision_hidden_conditioner)
+        vcfg = CLIPVisionConfig(hidden=1280, layers=32, heads=16,
+                                mlp_dim=5120, image_size=224, patch=14,
+                                act="gelu")
+        vparams = convert_open_clip_visual(sd)
+        pipe.set_vision_encoder(
+            make_vision_hidden_conditioner(vparams, vcfg))
+    return pipe

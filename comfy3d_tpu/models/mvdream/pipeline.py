@@ -197,6 +197,14 @@ class MVDreamPipeline:
         from .convert import load_mvdream_dir
         return load_mvdream_dir(cls, path, **cfg_overrides)
 
+    @classmethod
+    def from_ldm_checkpoint(cls, ckpt_path: str,
+                            **cfg_overrides) -> "MVDreamPipeline":
+        """Load a single-file LDM checkpoint (the CRM
+        pixel/ccm-diffusion stages, reference nodes.py:2188-2211)."""
+        from .convert import load_ldm_checkpoint
+        return load_ldm_checkpoint(cls, ckpt_path, **cfg_overrides)
+
     def __call__(self, prompt_embeds: Optional[np.ndarray] = None,
                  negative_embeds: Optional[np.ndarray] = None,
                  image: Optional[np.ndarray] = None,

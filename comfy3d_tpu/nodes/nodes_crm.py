@@ -7,9 +7,12 @@ import numpy as np
 from .base import register
 
 
-def _mvdream_6view():
+def _mvdream_6view(ckpt_path=None):
     import dataclasses as dc
     from ..models.mvdream import MVDreamConfig, MVDreamPipeline
+    if ckpt_path:
+        return MVDreamPipeline.from_ldm_checkpoint(ckpt_path,
+                                                   num_views=6)
     cfg = MVDreamConfig()
     cfg = dc.replace(cfg, num_views=6,
                      unet=dc.replace(cfg.unet, mv_views=6))
@@ -34,7 +37,20 @@ class Load_CRM_MVDiffusion_Model:
         }}
 
     def load(self, model_name="pixel-diffusion"):
-        return (_mvdream_6view(), _mvdream_6view())
+        import os
+        from . import base
+        root = os.path.join(base.CKPT_ROOT_PATH, "CRM")
+        out = []
+        for name in ("pixel-diffusion", "ccm-diffusion"):
+            path = os.path.join(root, f"{name}.pth")
+            if os.path.exists(path):
+                print(f"[Load_CRM_MVDiffusion_Model] loading {path}")
+                out.append(_mvdream_6view(path))
+            else:
+                print(f"[Load_CRM_MVDiffusion_Model] {path} not found "
+                      "— random weights")
+                out.append(_mvdream_6view())
+        return tuple(out)
 
 
 @register
@@ -127,7 +143,16 @@ class Load_Convolutional_Reconstruction_Model:
         return {"required": {"model_name": (["CRM.pth"],)}}
 
     def load(self, model_name="CRM.pth"):
+        import os
+        from . import base
         from ..models.crm import CRMReconPipeline
+        path = os.path.join(base.CKPT_ROOT_PATH, "CRM", model_name)
+        if os.path.exists(path):
+            print(f"[Load_Convolutional_Reconstruction_Model] loading "
+                  f"{path}")
+            return (CRMReconPipeline.from_pretrained(path),)
+        print(f"[Load_Convolutional_Reconstruction_Model] {path} not "
+              "found — random weights")
         return (CRMReconPipeline.init_random(),)
 
 

@@ -99,8 +99,16 @@ def _hunyuan_mvd_lite(ckpt_dir=None):
     return Hunyuan3DV1MVDPipeline.init_random(variant="lite")
 
 
-def _hunyuan_dit():
+def _hunyuan_dit(ckpt_dir=None):
     from ..models.hunyuan3d import Hunyuan3DShapePipeline
+    if ckpt_dir:
+        for ext in ("safetensors", "ckpt"):
+            dit = os.path.join(ckpt_dir, "hunyuan3d-dit-v2-0",
+                               f"model.fp16.{ext}")
+            vae = os.path.join(ckpt_dir, "hunyuan3d-vae-v2-0",
+                               f"model.fp16.{ext}")
+            if os.path.exists(dit) and os.path.exists(vae):
+                return Hunyuan3DShapePipeline.from_pretrained(dit, vae)
     return Hunyuan3DShapePipeline.init_random()
 
 

@@ -314,9 +314,11 @@ class Load_Large_Multiview_Gaussian_Model:
             getattr(self.__class__, "checkpoints_dir_abs",
                     os.path.join(base.CKPT_ROOT_PATH,
                                  self.checkpoints_dir)), model_name)
-        if not os.path.exists(ckpt):
-            print(f"[Load_LGM] checkpoint {ckpt} not found — random "
-                  "weights")
+        if os.path.exists(ckpt):
+            print(f"[Load_LGM] loading {ckpt}")
+            return (LGMPipeline.from_pretrained(ckpt),)
+        print(f"[Load_LGM] checkpoint {ckpt} not found — random "
+              "weights")
         return (LGMPipeline.init_random(),)
 
 

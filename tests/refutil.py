@@ -73,6 +73,22 @@ def install():
     tm.Trimesh = type("Trimesh", (), {})
     mc = _stub("mcubes")
     mc.marching_cubes = None
+    ndr = _stub("nvdiffrast")
+    ndr_t = _stub("nvdiffrast.torch")
+    ndr.torch = ndr_t
+    ndr_t.RasterizeCudaContext = type("RasterizeCudaContext", (), {})
+    ndr_t.rasterize = ndr_t.interpolate = ndr_t.texture = None
+    xa = _stub("xatlas")
+    xa.parametrize = None
+    fcm = _stub("FlexiCubes.flexicubes")
+    fcm.FlexiCubes = type("FlexiCubes", (), {})
+    _stub("FlexiCubes").flexicubes = fcm
+    mpm = _stub("mesh_processer.mesh")
+    mpm.Mesh = type("Mesh", (), {})
+    _stub("mesh_processer").mesh = mpm
+    pr = _stub("pkg_resources")
+    pr.packaging = None
+    pr.parse_version = lambda v: v
 
     import torch
 
@@ -119,6 +135,9 @@ def install():
 
     # diffusers bits the Hunyuan/vecset package __init__ chains import
     dif = _stub("diffusers")
+    # symbols CRM's module scope references but our tests never call
+    dif.UNet2DModel = type("UNet2DModel", (), {})
+    dif.DDIMScheduler = type("DDIMScheduler", (), {})
     dif_utils = _stub("diffusers.utils")
     dif_tu = _stub("diffusers.utils.torch_utils")
 

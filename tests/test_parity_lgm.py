@@ -67,3 +67,19 @@ def test_all_keys_consumed(ref_model):
     rules = lgm_rules()
     missed = [k for k in sd if rules(k, sd[k]) is None]
     assert missed == []
+
+
+def test_from_pretrained_roundtrip(ref_model, tmp_path):
+    """Node load path: state dict → safetensors file → LGMPipeline."""
+    from safetensors.numpy import save_file
+    from comfy3d_tpu.models.lgm import LGMPipeline
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    path = str(tmp_path / "model_fp16.safetensors")
+    save_file(sd, path)
+    pipe = LGMPipeline.from_pretrained(path, cfg=CFG)
+    x = np.random.RandomState(1).rand(4, 32, 32, 9).astype(np.float32)
+    ours = pipe.model.apply({"params": pipe.params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
