@@ -141,12 +141,12 @@ def bench_gs_train_step(n_gauss=100_000, size=800, n_views=4, iters=10):
     cfg = T.GSTrainConfig(batch_size=1)
     state = T.init_state(splat)
     step_fn = T.make_train_step(cfg, cams, imgs, masks)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(0)   # constant: the step folds state.step in
     state, _ = step_fn(state, key)
     jax.block_until_ready(state.params["xyz"])
     t0 = time.perf_counter()
     for i in range(iters):
-        state, _ = step_fn(state, jax.random.fold_in(key, i))
+        state, _ = step_fn(state, key)
     jax.block_until_ready(state.params["xyz"])
     dt = (time.perf_counter() - t0) / iters
     log(f"[bench] 3DGS train step (fwd+bwd, {n_gauss} @{size}², batch 1): "

@@ -175,12 +175,13 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
         intr = cameras.intrinsics[view_idx]
         campos = cameras.campos[view_idx]
         colors = splat.colors_toward(campos)
-        # "auto" resolves to xla for TRAINING: the pallas compositor
-        # wins forward-only rendering (bench: 162 FPS vs baseline 120)
-        # but its VJP is ~10× slower than XLA's fused fwd+bwd on TPU
-        # (measured 2282 vs 245 ms/step @800², 100k gaussians) — the
-        # 30k-iteration fit is backward-bound, so train on xla.
-        backend = "xla" if cfg.backend == "auto" else cfg.backend
+        # "auto" resolves to pallas on TPU for training too: with the v2
+        # coarse-bin kernel (ops/pallas/gs_flat.py) the full step is
+        # 64 ms vs 295 ms on the XLA path (@800², 100k gaussians,
+        # batch 1, v5e — fwd 7 ms / fwd+bwd 37 ms; the round-2 claim
+        # that the pallas VJP lost to XLA predated the flat kernel).
+        backend = (gs_render.default_backend() if cfg.backend == "auto"
+                   else cfg.backend)
         out = gs_render.render_arrays(
             splat.xyz, splat.scale, splat.rotation, splat.opacity, colors,
             splat.alive, w2c, intr, width, height, background=bg,
@@ -226,6 +227,12 @@ def make_train_step(cfg: GSTrainConfig, cameras: Camera,
 
     @jax.jit
     def train_step(state: GSTrainState, key):
+        # Fold the step count in *inside* the jit: callers pass one constant
+        # base key for the whole fit. (Host-side fold_in per iteration costs
+        # ~140 ms/step of dispatch latency through the remote-TPU tunnel —
+        # measured with jax.profiler, /host:CPU line — vs 60 ms of device
+        # compute for the whole step.)
+        key = jax.random.fold_in(key, state.step)
         k_view, k_bg = jax.random.split(key)
         view_idx = jax.random.randint(k_view, (cfg.batch_size,), 0, nviews)
         bgs = jnp.where(
@@ -278,6 +285,7 @@ def make_densify_step(cfg: GSTrainConfig):
 
     @jax.jit
     def densify_and_prune(state: GSTrainState, key):
+        key = jax.random.fold_in(key, state.step)  # base key, see train_step
         p = state.params
         cap = state.alive.shape[0]
         alive = state.alive
@@ -392,10 +400,13 @@ def train(splat: GaussianSplat, cameras: Camera, images, masks,
     state = init_state(splat)
     step_fn = make_train_step(cfg, cameras, images, masks, mesh=mesh)
     densify_fn = make_densify_step(cfg)
-    key = jax.random.PRNGKey(seed)
+    # One constant base key for the whole fit; each jitted step folds
+    # state.step in on-device (host-side fold_in/split per iteration costs
+    # more dispatch latency than the step's device compute).
+    k_step = jax.random.PRNGKey(seed)
+    k_dens = jax.random.PRNGKey(seed + 1)
 
     for it in range(cfg.iterations):
-        key, k_step, k_dens = jax.random.split(key, 3)
         state, metrics = step_fn(state, k_step)
         in_window = cfg.density_start_iter <= it <= cfg.density_end_iter
         if in_window and it > 0 and it % cfg.densification_interval == 0:
