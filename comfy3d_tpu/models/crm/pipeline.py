@@ -251,7 +251,10 @@ class CRMReconPipeline:
             np.float32), jnp.full((1,), c.noise_t, jnp.float32))[0]
 
         res = c.tet_grid_size + 1
-        lin = np.linspace(-c.scale, c.scale, res, dtype=np.float32)
+        # reference construct_voxel_grid spans [-0.5, 0.5] scaled by
+        # grid_scale=2.0 → ±1.0; Input.scale only scales the deform
+        # magnitude (util/renderer.py), not the grid extent
+        lin = np.linspace(-1.0, 1.0, res, dtype=np.float32)
         gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
         pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
         query = jax.jit(lambda pl, q: self.model.apply(
@@ -263,7 +266,7 @@ class CRMReconPipeline:
             sdfs.append(np.asarray(sd))
         grid = np.concatenate(sdfs).reshape(res, res, res)
         mesh = tetra.extract_isosurface(grid, iso=0.0,
-                                        bounds=(-c.scale, c.scale))
+                                        bounds=(-1.0, 1.0))
         if with_color and mesh.num_vertices:
             cols = []
             mv = jnp.asarray(mesh.v, jnp.float32)

@@ -344,7 +344,16 @@ def load_ldm_checkpoint(cls, ckpt_path: str, **cfg_overrides):
     unet_sd = {k[len("model.diffusion_model."):]: v
                for k, v in sd.items()
                if k.startswith("model.diffusion_model.")}
-    raw = {"in_channels": 4, "out_channels": 4, "model_channels": 320,
+    # infer in/out channels from the conv_in/conv_out kernels: the CRM
+    # CCM stage is MultiViewUNetModelStage2 with in_channels=8
+    # (sd_v2_base_ipmv_chin8_zero_snr.yaml — noisy latent ‖ stage-1
+    # pixel latent), the pixel stage is 4
+    cin = (int(unet_sd["input_blocks.0.0.weight"].shape[1])
+           if "input_blocks.0.0.weight" in unet_sd else 4)
+    cout = (int(unet_sd["out.2.weight"].shape[0])
+            if "out.2.weight" in unet_sd else 4)
+    raw = {"in_channels": cin, "out_channels": cout,
+           "model_channels": 320,
            "attention_resolutions": [4, 2, 1], "num_res_blocks": 2,
            "channel_mult": [1, 2, 4, 4], "num_head_channels": 64,
            "context_dim": 1024, "camera_dim": 16}

@@ -166,7 +166,8 @@ class MVDreamPipeline:
         unet = UNet2DCondition(cfg.unet)
         ctx_tokens = cfg.prompt_tokens + cfg.ip_dim
         unet_params = unet.init(
-            k1, jnp.zeros((cfg.num_views, lat, lat, 4)),
+            k1, jnp.zeros((cfg.num_views, lat, lat,
+                           cfg.unet.in_channels)),
             jnp.zeros((cfg.num_views,)),
             jnp.zeros((cfg.num_views, ctx_tokens, cfg.prompt_dim)),
             class_emb=jnp.zeros(
@@ -211,7 +212,8 @@ class MVDreamPipeline:
                  num_inference_steps: int = 30,
                  guidance_scale: float = 7.0, seed: int = 0,
                  elevation: Optional[float] = None,
-                 adapter_residuals=None):
+                 adapter_residuals=None,
+                 pixel_images: Optional[np.ndarray] = None):
         """→ [V, S, S, 3] images in [0,1].
 
         image: [S, S, 3] in [0,1] — ImageDream conditioning (requires
@@ -220,11 +222,33 @@ class MVDreamPipeline:
         (V+1)-th frame each step (pipeline_mvdream.py:483-526).
         adapter_residuals: optional T2I-Adapter feature pyramid (one
         [V, h, w, c] per down stage — the CRM T2I conditioning path);
-        applied to both CFG branches."""
+        applied to both CFG branches.
+        pixel_images: [V, S, S, 3] in [0,1] — CRM stage-2 ("Stage2")
+        conditioning: each view's VAE latent is channel-concatenated to
+        the noisy latent at every step (in_channels 4→8; zeros on the
+        uncond half). Matches `MultiViewUNetModelStage2.forward`
+        (CRM/imagedream/.../openaimodel.py:1113-1117 `x = cat((x,
+        pixel_images), 1)`) and `ImageDreamDiffusionStage2.i2iStage2`
+        (CRM/libs/sample.py:307-311). Stage-2 samplers keep num_frames
+        == num_views (ref_position null), so no extra ip frame is
+        pinned — the reference image still contributes IP tokens."""
         cfg = self.cfg
         v = cfg.num_views
+        use_pixel = pixel_images is not None
+        if use_pixel and cfg.unet.in_channels != 8:
+            import warnings
+            warnings.warn(
+                "pixel_images conditioning needs a stage-2 (in_channels"
+                f"=8) UNet; this pipeline has {cfg.unet.in_channels} — "
+                "ignoring pixel_images")
+            use_pixel = False
+        if cfg.unet.in_channels == 8 and not use_pixel:
+            raise ValueError(
+                "stage-2 (in_channels=8) UNet requires pixel_images")
         use_ip = image is not None and cfg.ip_dim > 0
-        nf = v + 1 if use_ip else v       # actual_num_frames
+        # stage-2 keeps F == V (camera_views has no ref slot)
+        pin_frame = use_ip and not use_pixel
+        nf = v + 1 if pin_frame else v    # actual_num_frames
         emb_dim = cfg.prompt_dim
         if prompt_embeds is None:
             prompt_embeds = getattr(
@@ -255,20 +279,34 @@ class MVDreamPipeline:
                 [cond, jnp.tile(ip_pos, (nf, 1, 1))], axis=1)
             uncond = jnp.concatenate(
                 [uncond, jnp.tile(ip_neg, (nf, 1, 1))], axis=1)
-            # cond image VAE latent pinned as the extra frame (encode
-            # already applies the scaling factor)
-            s = cfg.image_size
-            img_s = jax.image.resize(img, (1, s, s, 3), "bilinear")
-            lat_img = self.vae.apply(
-                {"params": self.params["vae"]}, img_s * 2.0 - 1.0,
-                method=AutoencoderKL.encode)
-            ip_img2 = jnp.concatenate(
-                [jnp.zeros_like(lat_img), lat_img])      # [neg, pos]
+            if pin_frame:
+                # cond image VAE latent pinned as the extra frame
+                # (encode already applies the scaling factor)
+                s = cfg.image_size
+                img_s = jax.image.resize(img, (1, s, s, 3), "bilinear")
+                lat_img = self.vae.apply(
+                    {"params": self.params["vae"]}, img_s * 2.0 - 1.0,
+                    method=AutoencoderKL.encode)
+                ip_img2 = jnp.concatenate(
+                    [jnp.zeros_like(lat_img), lat_img])  # [neg, pos]
         states = jnp.concatenate([uncond, cond])         # [2F, T(+ip), D]
+
+        pix2 = None
+        if use_pixel:
+            pix = jnp.asarray(pixel_images, jnp.float32)
+            s = cfg.image_size
+            if pix.shape[1] != s or pix.shape[2] != s:
+                pix = jax.image.resize(pix, (pix.shape[0], s, s, 3),
+                                       "bilinear")
+            pix_lat = self.vae.apply(
+                {"params": self.params["vae"]}, pix * 2.0 - 1.0,
+                method=AutoencoderKL.encode)             # [V, l, l, 4]
+            pix2 = jnp.concatenate(
+                [jnp.zeros_like(pix_lat), pix_lat])      # [neg, pos]
 
         cams = orbit_c2w_flat(v, elevation if elevation is not None
                               else cfg.camera_elevation, cfg.camera_radius)
-        if use_ip:
+        if pin_frame:
             cams = jnp.concatenate(
                 [cams, jnp.zeros((1, 16))])   # extra view: zero camera
         cam_emb = self.cam_embed.apply({"params": self.params["camera"]},
@@ -296,6 +334,9 @@ class MVDreamPipeline:
                 # each CFG half (mv_unet.py forward: x[(F-1)::F] = ip_img)
                 lat_in = lat_in.at[nf - 1].set(ip_img2[0])
                 lat_in = lat_in.at[2 * nf - 1].set(ip_img2[1])
+            if pix2 is not None:
+                # stage-2: pixel-stage latents ride as extra channels
+                lat_in = jnp.concatenate([lat_in, pix2], axis=-1)
             tvec = jnp.full((2 * nf,), t, jnp.float32)
             out, _ = unet_apply(lat_in, tvec, states, class_emb=cam_emb2,
                                 adapter_residuals=ad2, mv_views=nf)

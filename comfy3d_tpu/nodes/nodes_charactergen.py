@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import register
+from .base import maybe_shard, register
 
 
 @register
@@ -27,7 +27,7 @@ class Load_CharacterGen_MVDiffusion_Model:
         from ..models.charactergen import CharacterGen2DPipeline
         print("[Load_CharacterGen_MVDiffusion_Model] initializing "
               "random weights (no local checkpoint)")
-        return (CharacterGen2DPipeline.init_random(),)
+        return (maybe_shard(CharacterGen2DPipeline.init_random()),)
 
 
 @register
@@ -106,7 +106,7 @@ class Load_CharacterGen_Reconstruction_Model:
         from ..models.charactergen import CharacterGenLRMPipeline
         print("[Load_CharacterGen_Reconstruction_Model] initializing "
               "random weights (no local checkpoint)")
-        return (CharacterGenLRMPipeline.init_random(),)
+        return (maybe_shard(CharacterGenLRMPipeline.init_random()),)
 
 
 @register

@@ -4,18 +4,43 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import register
+from .base import maybe_shard, register
 
 
-def _mvdream_6view(ckpt_path=None):
+def _masked_ref(image, mask):
+    """Reference image composited on white via its mask — the
+    `torch_imgs_to_pils(reference_image, reference_mask)` +
+    `CRMSampler.process_pixel_img` preprocessing (reference
+    nodes.py:2325-2326). Returns [H, W, 3] float32 or None."""
+    if image is None:
+        return None
+    img = np.asarray(image, np.float32)
+    if img.ndim == 4:
+        img = img[0]
+    if mask is not None:
+        m = np.asarray(mask, np.float32)
+        if m.ndim == 3:
+            m = m[0]
+        img = img * m[..., None] + (1.0 - m[..., None])
+    return img
+
+
+def _mvdream_6view(ckpt_path=None, stage2=False):
+    """CRM's ImageDream 6-view sampler. `stage2` shapes the random
+    fallback like the CCM stage (MultiViewUNetModelStage2: in_channels
+    8, conditioned on stage-1 pixel latents — the checkpoint path
+    infers this from conv_in itself)."""
     import dataclasses as dc
     from ..models.mvdream import MVDreamConfig, MVDreamPipeline
     if ckpt_path:
         return MVDreamPipeline.from_ldm_checkpoint(ckpt_path,
                                                    num_views=6)
     cfg = MVDreamConfig()
-    cfg = dc.replace(cfg, num_views=6,
-                     unet=dc.replace(cfg.unet, mv_views=6))
+    cfg = dc.replace(
+        cfg, num_views=6, ip_dim=16, prompt_dim=1024,
+        unet=dc.replace(cfg.unet, mv_views=6, ip_dim=16,
+                        cross_attention_dim=1024,
+                        in_channels=8 if stage2 else 4))
     return MVDreamPipeline.init_random(cfg=cfg)
 
 
@@ -45,11 +70,12 @@ class Load_CRM_MVDiffusion_Model:
             path = os.path.join(root, f"{name}.pth")
             if os.path.exists(path):
                 print(f"[Load_CRM_MVDiffusion_Model] loading {path}")
-                out.append(_mvdream_6view(path))
+                out.append(maybe_shard(_mvdream_6view(path)))
             else:
                 print(f"[Load_CRM_MVDiffusion_Model] {path} not found "
                       "— random weights")
-                out.append(_mvdream_6view())
+                out.append(maybe_shard(_mvdream_6view(
+                    stage2=(name == "ccm-diffusion"))))
         return tuple(out)
 
 
@@ -84,6 +110,7 @@ class CRM_Images_MVDiffusion_Model:
                   seed=1234, mv_guidance_scale=5.5,
                   num_inference_steps=50):
         out = crm_mvdiffusion_sampler(
+            image=_masked_ref(reference_image, reference_mask),
             num_inference_steps=int(num_inference_steps),
             guidance_scale=float(mv_guidance_scale),
             seed=int(seed) % (2 ** 31))
@@ -123,6 +150,10 @@ class CRM_CCMs_MVDiffusion_Model:
                   prompt="3D assets", prompt_neg="", seed=1234,
                   mv_guidance_scale=5.5, num_inference_steps=50):
         out = crm_mvdiffusion_sampler(
+            image=_masked_ref(reference_image, reference_mask),
+            pixel_images=(None if multiview_images is None
+                          else np.asarray(multiview_images,
+                                          np.float32)),
             num_inference_steps=int(num_inference_steps),
             guidance_scale=float(mv_guidance_scale),
             seed=int(seed) % (2 ** 31) + 1)
@@ -150,10 +181,10 @@ class Load_Convolutional_Reconstruction_Model:
         if os.path.exists(path):
             print(f"[Load_Convolutional_Reconstruction_Model] loading "
                   f"{path}")
-            return (CRMReconPipeline.from_pretrained(path),)
+            return (maybe_shard(CRMReconPipeline.from_pretrained(path)),)
         print(f"[Load_Convolutional_Reconstruction_Model] {path} not "
               "found — random weights")
-        return (CRMReconPipeline.init_random(),)
+        return (maybe_shard(CRMReconPipeline.init_random()),)
 
 
 @register
@@ -235,7 +266,7 @@ class Load_CRM_T2I_V2_Models:
 
     def load_CRM(self, crm_model_name="pixel-diffusion.pth",
                  crm_config_path="sd_v2_base_ipmv_zero_SNR.yaml"):
-        sampler = _mvdream_6view()
+        sampler = maybe_shard(_mvdream_6view())
         print("[Load_CRM_T2I_V2_Models] initializing random weights "
               "(no local checkpoints)")
         return (_adapter_for(sampler), sampler)
@@ -267,7 +298,7 @@ class Load_CRM_T2I_V3_Models:
     def load_CRM(self, crm_model_name="pixel-diffusion_Hyper.pth",
                  crm_t2i_v3_model_name="", crm_config_path="",
                  rank=64, use_dora=False):
-        sampler = _mvdream_6view()
+        sampler = maybe_shard(_mvdream_6view())
         sampler.lora_rank = int(rank)
         sampler.use_dora = bool(use_dora)
         print("[Load_CRM_T2I_V3_Models] initializing random weights "

@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-from .base import CKPT_ROOT_PATH, register
+from .base import maybe_shard, CKPT_ROOT_PATH, register
 
 CKPT_DIFFUSERS_PATH = os.path.join(CKPT_ROOT_PATH, "Diffusers")
 
@@ -101,14 +101,21 @@ def _hunyuan_mvd_lite(ckpt_dir=None):
 
 def _hunyuan_dit(ckpt_dir=None):
     from ..models.hunyuan3d import Hunyuan3DShapePipeline
-    if ckpt_dir:
+
+    def _find(subdir):
+        # resolve each file's extension independently — a directory can
+        # mix model.fp16.safetensors with model.fp16.ckpt (ADVICE r3 #3)
         for ext in ("safetensors", "ckpt"):
-            dit = os.path.join(ckpt_dir, "hunyuan3d-dit-v2-0",
-                               f"model.fp16.{ext}")
-            vae = os.path.join(ckpt_dir, "hunyuan3d-vae-v2-0",
-                               f"model.fp16.{ext}")
-            if os.path.exists(dit) and os.path.exists(vae):
-                return Hunyuan3DShapePipeline.from_pretrained(dit, vae)
+            cand = os.path.join(ckpt_dir, subdir, f"model.fp16.{ext}")
+            if os.path.exists(cand):
+                return cand
+        return None
+
+    if ckpt_dir:
+        dit = _find("hunyuan3d-dit-v2-0")
+        vae = _find("hunyuan3d-vae-v2-0")
+        if dit and vae:
+            return Hunyuan3DShapePipeline.from_pretrained(dit, vae)
     return Hunyuan3DShapePipeline.init_random()
 
 
@@ -274,13 +281,13 @@ class Set_Diffusers_Pipeline_State_Dict:
         if not os.path.exists(path):
             print(f"[Set_Diffusers_Pipeline_State_Dict] {path} not "
                   f"found — keeping current weights")
-            return (pipe,)
+            return (maybe_shard(pipe),)
         from ..models.convert import convert_with_rules, load_state_dict
         from ..models.diffusion.convert import unet_rules
         sd = load_state_dict(path)
         pipe.params["unet"] = convert_with_rules(sd, unet_rules())
         print(f"[Set_Diffusers_Pipeline_State_Dict] loaded {path}")
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -321,7 +328,7 @@ class Load_Unique3D_Custom_UNet:
             except Exception:
                 pass
         print(f"[Load_Unique3D_Custom_UNet] built {config_name} UNet")
-        return (new,)
+        return (maybe_shard(new),)
 
 
 @register

@@ -11,7 +11,7 @@ import os
 import numpy as np
 
 from . import base
-from .base import register
+from .base import maybe_shard, register
 
 
 _MODES = {
@@ -76,7 +76,7 @@ class Load_Hunyuan3D_V2_ShapeGen_Pipeline:
             print(f"[Load_Hunyuan3D_V2_ShapeGen_Pipeline] checkpoints "
                   f"not found under {root} — initializing random weights")
             pipe = Hunyuan3DShapePipeline.init_random(cfg=cfg)
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -211,7 +211,7 @@ class Load_Hunyuan3D_21_ShapeGen_Pipeline:
             print("[Load_Hunyuan3D_21_ShapeGen_Pipeline] checkpoints "
                   f"not found under {root} — initializing random weights")
             pipe = Hunyuan3DShapePipeline.init_random(cfg=cfg)
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -379,7 +379,7 @@ class Load_Hunyuan3D_V1_Reconstruction_Model:
               "random weights (no local svrm checkpoint)")
         pipe = SVRMPipeline.init_random(cfg=cfg)
         pipe.use_lite = bool(use_lite)
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register

@@ -7,7 +7,7 @@ import os
 import numpy as np
 
 from . import base
-from .base import register, error_none
+from .base import maybe_shard, register, error_none
 
 
 @register
@@ -51,7 +51,7 @@ class Load_TripoSR_Model:
                   "initializing random weights (set COMFY3D_CHECKPOINTS "
                   "or place the file to load real weights)")
             pipe = TripoSRPipeline.init_random()
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -130,7 +130,7 @@ class Load_InstantMesh_Reconstruction_Model:
             print(f"[Load_InstantMesh] checkpoint {ckpt} not found — "
                   "initializing random weights")
             pipe = InstantMeshPipeline.init_random()
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -316,10 +316,10 @@ class Load_Large_Multiview_Gaussian_Model:
                                  self.checkpoints_dir)), model_name)
         if os.path.exists(ckpt):
             print(f"[Load_LGM] loading {ckpt}")
-            return (LGMPipeline.from_pretrained(ckpt),)
+            return (maybe_shard(LGMPipeline.from_pretrained(ckpt)),)
         print(f"[Load_LGM] checkpoint {ckpt} not found — random "
               "weights")
-        return (LGMPipeline.init_random(),)
+        return (maybe_shard(LGMPipeline.init_random()),)
 
 
 @register
@@ -383,7 +383,7 @@ class Load_SF3D_Model:
                   "initializing random weights (set COMFY3D_CHECKPOINTS "
                   "to the stabilityai/stable-fast-3d model.safetensors)")
             pipe = SF3DPipeline.init_random()
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -444,7 +444,7 @@ class Load_Triplane_Gaussian_Transformers:
     def load_TGS(self, model_name="model_lvis_rel.ckpt"):
         from ..models.tgs import TGSPipeline
         pipe = TGSPipeline.init_random()
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register

@@ -6,7 +6,7 @@ import os
 
 import numpy as np
 
-from .base import OUTPUT_ROOT_PATH, register
+from .base import maybe_shard, OUTPUT_ROOT_PATH, register
 
 
 def _load_mesh(mesh_path):
@@ -69,7 +69,7 @@ class Load_MVAdapter_IG2MV_Pipeline:
                 unet=dc.replace(cfg.unet, mv_views=int(num_views)))
         print("[Load_MVAdapter_IG2MV_Pipeline] initializing random "
               "weights (no local adapter checkpoint)")
-        return (MVAdapterIG2MVPipeline.init_random(cfg=cfg),)
+        return (maybe_shard(MVAdapterIG2MVPipeline.init_random(cfg=cfg)),)
 
 
 @register
@@ -163,7 +163,7 @@ class Load_MVAdapter_TG2MV_Pipeline:
                 unet=dc.replace(cfg.unet, mv_views=int(num_views)))
         print("[Load_MVAdapter_TG2MV_Pipeline] initializing random "
               "weights (no local adapter checkpoint)")
-        return (MVAdapterTG2MVPipeline.init_random(cfg=cfg),)
+        return (maybe_shard(MVAdapterTG2MVPipeline.init_random(cfg=cfg)),)
 
 
 @register

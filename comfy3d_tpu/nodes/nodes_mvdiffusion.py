@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import base
-from .base import register
+from .base import maybe_shard, register
 
 
 def _local_ckpt(repo_id: str):
@@ -49,10 +49,10 @@ class Load_Wonder3D_Pipeline:
         ckpt = _local_ckpt(repo_id)
         if ckpt:
             print(f"[Load_Wonder3D_Pipeline] loading {ckpt}")
-            return (Wonder3DPipeline.from_pretrained(ckpt),)
+            return (maybe_shard(Wonder3DPipeline.from_pretrained(ckpt)),)
         print(f"[Load_Wonder3D_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
-        return (Wonder3DPipeline.init_random(),)
+        return (maybe_shard(Wonder3DPipeline.init_random()),)
 
 
 @register
@@ -112,10 +112,10 @@ class Load_Era3D_Pipeline:
         ckpt = _local_ckpt(repo_id)
         if ckpt:
             print(f"[Load_Era3D_Pipeline] loading {ckpt}")
-            return (Era3DPipeline.from_pretrained(ckpt),)
+            return (maybe_shard(Era3DPipeline.from_pretrained(ckpt)),)
         print(f"[Load_Era3D_Pipeline] initializing random weights "
               f"(no local checkpoints for {repo_id})")
-        return (Era3DPipeline.init_random(),)
+        return (maybe_shard(Era3DPipeline.init_random()),)
 
 
 @register

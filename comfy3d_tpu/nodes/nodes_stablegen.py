@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import register
+from .base import maybe_shard, register
 
 
 @register
@@ -36,10 +36,10 @@ class Load_StableGen_Trellis_Pipeline:
             if os.path.exists(os.path.join(cand, "pipeline.json")):
                 print(f"[Load_StableGen_Trellis_Pipeline] loading "
                       f"{cand}")
-                return (trellis_convert.from_pretrained(cand),)
+                return (maybe_shard(trellis_convert.from_pretrained(cand)),)
         print(f"[Load_StableGen_Trellis_Pipeline] initializing random "
               f"weights (no local checkpoints for {repo_id})")
-        return (TrellisImageTo3DPipeline.init_random(),)
+        return (maybe_shard(TrellisImageTo3DPipeline.init_random()),)
 
 
 @register
@@ -63,10 +63,10 @@ class Load_StableGen_StableX_Pipeline:
         ckpt = _local_ckpt(f"Stable-X/{model_variant}")
         if ckpt:
             print(f"[Load_StableGen_StableX_Pipeline] loading {ckpt}")
-            return (YosoNormalsPipeline.from_pretrained(ckpt),)
+            return (maybe_shard(YosoNormalsPipeline.from_pretrained(ckpt)),)
         print("[Load_StableGen_StableX_Pipeline] initializing random "
               "weights")
-        return (YosoNormalsPipeline.init_random(),)
+        return (maybe_shard(YosoNormalsPipeline.init_random()),)
 
 
 @register

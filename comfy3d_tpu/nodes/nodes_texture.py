@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import base
-from .base import register, error_none
+from .base import maybe_shard, register, error_none
 
 
 @register
@@ -190,7 +190,7 @@ class Load_Hunyuan3D_V2_TexGen_Pipeline:
               "weights (no local paint checkpoint)")
         pipe = Hunyuan3DPaintPipeline.init_random()
         pipe.default_steps = 8 if model_variant == "Turbo" else 25
-        return (pipe,)
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -328,4 +328,4 @@ class Load_Hunyuan3D_21_TexGen_Pipeline:
             pipe.set_superres(superres)
             print("[Load_Hunyuan3D_21_TexGen_Pipeline] RealESRGAN "
                   "superres wired into the bake loop")
-        return (pipe,)
+        return (maybe_shard(pipe),)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import register
+from .base import maybe_shard, register
 
 
 @register
@@ -40,11 +40,11 @@ class Load_Trellis_Structured_3D_Latents_Models:
                                   repo_id.split("/")[-1])):
             if os.path.exists(os.path.join(cand, "pipeline.json")):
                 print(f"[Load_Trellis] loading checkpoints from {cand}")
-                return (trellis_convert.from_pretrained(cand),)
+                return (maybe_shard(trellis_convert.from_pretrained(cand)),)
         print("[Load_Trellis] no local checkpoint tree for "
               f"{repo_id} under {base.CKPT_ROOT_PATH} — random weights "
               "(place pipeline.json + ckpts/ there to load real ones)")
-        return (TrellisImageTo3DPipeline.init_random(),)
+        return (maybe_shard(TrellisImageTo3DPipeline.init_random()),)
 
 
 @register

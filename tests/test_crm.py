@@ -109,3 +109,76 @@ class TestT2IAdapter:
                      "[Comfy3D] Load CRM T2I V3 Models",
                      "[Comfy3D] CRM T2I V3 Models"):
             assert name in m
+
+
+class TestStage2CCM:
+    """CRM CCM stage-2: pixel-stage latents concatenated channel-wise
+    (MultiViewUNetModelStage2, openaimodel.py:1113-1117; ADVICE r3 #1)."""
+
+    @pytest.fixture(scope="class")
+    def stage2(self):
+        import dataclasses as dc
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        import test_diffusion as td
+        from comfy3d_tpu.models.mvdream import (MVDreamConfig,
+                                                MVDreamPipeline)
+        ucfg = dc.replace(td.tiny_unet_cfg(), mv_views=2, in_channels=8)
+        cfg = MVDreamConfig(image_size=32, num_views=2, unet=ucfg,
+                            vae=td.tiny_vae_cfg(), prompt_tokens=7,
+                            prompt_dim=16)
+        return MVDreamPipeline.init_random(cfg=cfg)
+
+    def test_requires_pixel_images(self, stage2):
+        with pytest.raises(ValueError, match="requires pixel_images"):
+            stage2(num_inference_steps=1, seed=0)
+
+    def test_pixel_latents_condition_output(self, stage2):
+        pa = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+        pb = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+        va = np.asarray(stage2(num_inference_steps=2, seed=0,
+                               pixel_images=pa))
+        vb = np.asarray(stage2(num_inference_steps=2, seed=0,
+                               pixel_images=pb))
+        assert va.shape == (2, 32, 32, 3)
+        assert np.isfinite(va).all()
+        assert np.abs(va - vb).max() > 1e-6
+
+    def test_stage1_warns_and_ignores_pixel_images(self):
+        import dataclasses as dc
+        import sys, os, warnings
+        sys.path.insert(0, os.path.dirname(__file__))
+        import test_diffusion as td
+        from comfy3d_tpu.models.mvdream import (MVDreamConfig,
+                                                MVDreamPipeline)
+        cfg = MVDreamConfig(
+            image_size=32, num_views=2,
+            unet=dc.replace(td.tiny_unet_cfg(), mv_views=2),
+            vae=td.tiny_vae_cfg(), prompt_tokens=7, prompt_dim=16)
+        pipe = MVDreamPipeline.init_random(cfg=cfg)
+        pix = np.zeros((2, 32, 32, 3), np.float32)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = pipe(num_inference_steps=1, seed=0, pixel_images=pix)
+        assert any("ignoring pixel_images" in str(x.message) for x in w)
+        assert np.asarray(out).shape == (2, 32, 32, 3)
+
+
+def test_ldm_checkpoint_infers_in_channels(tmp_path):
+    """load_ldm_checkpoint must read conv_in width from the checkpoint
+    (ccm-diffusion.pth is 8-channel Stage2; ADVICE r3 #1)."""
+    import torch
+    from comfy3d_tpu.models.mvdream import MVDreamPipeline
+
+    sd = {}
+    # minimal stage-2 markers: conv_in (8ch) + conv_out
+    sd["model.diffusion_model.input_blocks.0.0.weight"] = \
+        torch.zeros(320, 8, 3, 3)
+    sd["model.diffusion_model.input_blocks.0.0.bias"] = torch.zeros(320)
+    sd["model.diffusion_model.out.2.weight"] = torch.zeros(4, 320, 3, 3)
+    sd["model.diffusion_model.out.2.bias"] = torch.zeros(4)
+    path = tmp_path / "ccm-diffusion.pth"
+    torch.save(sd, path)
+    pipe = MVDreamPipeline.from_ldm_checkpoint(str(path), num_views=6)
+    assert pipe.cfg.unet.in_channels == 8
+    assert pipe.params["unet"]["conv_in"]["kernel"].shape[2] == 8

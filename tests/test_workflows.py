@@ -91,12 +91,13 @@ def _tiny_crm_recon():
     return CRMReconPipeline.init_random(cfg=CRMConfig.tiny())
 
 
-def _tiny_mvdream(views=4):
+def _tiny_mvdream(views=4, stage2=False):
     from comfy3d_tpu.models.mvdream import MVDreamConfig, MVDreamPipeline
     cfg = MVDreamConfig(
         image_size=32, num_views=views,
         unet=dc.replace(td.tiny_unet_cfg(), mv_views=views,
-                        cross_attention_dim=16),
+                        cross_attention_dim=16,
+                        in_channels=8 if stage2 else 4),
         vae=td.tiny_vae_cfg(), prompt_tokens=7, prompt_dim=16)
     return MVDreamPipeline.init_random(cfg=cfg)
 
@@ -274,7 +275,7 @@ def tiny_world(monkeypatch, tmp_path):
     patch(nodes_partcrafter.Load_PartCrafter_Scene_Pipeline, "load",
           _tiny_partcrafter)
     patch(nodes_crm.Load_CRM_MVDiffusion_Model, "load",
-          lambda: (_tiny_mvdream(6), _tiny_mvdream(6)))
+          lambda: (_tiny_mvdream(6), _tiny_mvdream(6, stage2=True)))
     patch(nodes_crm.Load_Convolutional_Reconstruction_Model, "load",
           _tiny_crm_recon)
     patch(nodes_charactergen.Load_CharacterGen_MVDiffusion_Model,
