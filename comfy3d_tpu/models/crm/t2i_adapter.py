@@ -2,8 +2,9 @@
 
 Counterpart of `Gen_3D_Modules/CRM_T2I_V2/model/t2i_adapter_v2.py:265`
 (`T2IAdapterV2`, full_adapter): a small conv encoder
-(`ImageConv2dEncoder`, :28 — 3×3 conv in, stride-2 3×3 convs through
-(16,32,64,128,256), 3×3 out to the UNet's first block width) followed
+(`ImageConv2dEncoder`, :28/:59 — 3×3 conv in, then per stage a 3×3
+same-width conv and a stride-2 3×3 widening conv, SiLU after each,
+and a zero-init 3×3 out conv to the UNet's first block width) followed
 by one `AdapterBlock` per UNet down stage (:442 — avgpool down, 1×1
 channel-change conv, N ResNet-ish blocks of 3×3→ReLU→1×1 + skip).
 The returned feature pyramid is injected through the UNet substrate's
@@ -53,10 +54,12 @@ class T2IAdapter(nn.Module):
         → list of per-stage features, len == len(cfg.channels),
         feature i at H/(16·2^i) with cfg.channels[i] channels."""
         c = self.cfg
-        h = nn.Conv(c.cond_channels[0], (3, 3), padding=1,
-                    name="enc_conv_in")(cond)
+        h = nn.silu(nn.Conv(c.cond_channels[0], (3, 3), padding=1,
+                            name="enc_conv_in")(cond))
         for i, ch in enumerate(c.cond_channels[1:]):
-            h = nn.relu(nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+            h = nn.silu(nn.Conv(c.cond_channels[i], (3, 3), padding=1,
+                                name=f"enc_mid_{i}")(h))
+            h = nn.silu(nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
                                 name=f"enc_down_{i}")(h))
         h = nn.Conv(c.channels[0], (3, 3), padding=1,
                     name="enc_conv_out")(h)

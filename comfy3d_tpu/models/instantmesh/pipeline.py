@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...ops import tetra
+from ...ops import tetra, volume
 from .model import InstantMesh, InstantMeshConfig
 
 
@@ -51,6 +51,23 @@ class InstantMeshPipeline:
             lambda p, imgs, cams: self.model.apply({"params": p}, imgs,
                                                    cams))
 
+        # identity-stable query fns for ops.volume (static jit args;
+        # fresh lambdas per extract_mesh call would retrace each time)
+        def _geo(ctx, pts):
+            p, planes = ctx
+            sdf, deform = self.model.apply(
+                {"params": p}, planes, pts,
+                method=InstantMesh.query_geometry)
+            return jnp.concatenate([sdf[:, None], deform], -1)
+
+        def _rgb(ctx, pts):
+            p, planes = ctx
+            return self.model.apply({"params": p}, planes, pts,
+                                    method=InstantMesh.query_color)
+
+        self._geo_query = _geo
+        self._rgb_query = _rgb
+
     @classmethod
     def init_random(cls, key=None,
                     cfg: InstantMeshConfig = InstantMeshConfig(),
@@ -76,45 +93,64 @@ class InstantMeshPipeline:
                             jnp.asarray(cameras, jnp.float32))
 
     def extract_mesh(self, planes, resolution: int | None = None,
-                     max_tris: int = 2_000_000, with_color: bool = True,
-                     chunk: int = 262144):
+                     max_tris: int | None = None,
+                     with_color: bool = True, chunk: int = 262144):
         """SDF+deformation grid → marching-tets mesh (+ vertex colors).
         Counterpart of lrm_mesh.py:340 extract_mesh."""
         c = self.cfg
         res = resolution or (c.grid_res + 1)
-        verts, tets_arr = tetra.grid_tets(res)
+        if max_tris is None:
+            # surface-area scaling (~24·n² covers 8× a typical asset's
+            # crossing-cell count); the retry loop doubles if exceeded.
+            # A flat 2M cap OOMs at 96³ once model params + planes are
+            # resident: the one-shot tet temporaries scale with it.
+            # Successful capacities are memoized per resolution so warm
+            # calls skip the doubling ladder (each rung costs a full
+            # sweep+weld; measured 3×~2 s wasted per extract at 96³).
+            max_tris = getattr(self, "_cap_memo", {}).get(
+                res, min(2_000_000, max(262_144, 24 * (res - 1) ** 2)))
+        verts, _ = tetra.grid_tets(res)
         verts = verts * (c.grid_scale * 0.5)
+        ctx = (self.params, planes)
 
-        query = jax.jit(lambda pts: self.model.apply(
-            {"params": self.params}, planes, pts,
-            method=InstantMesh.query_geometry))
-        sdfs, deforms = [], []
-        for i in range(0, verts.shape[0], chunk):
-            s, d = query(jnp.asarray(verts[i:i + chunk]))
-            sdfs.append(s)
-            deforms.append(d)
-        sdf = jnp.concatenate(sdfs)
-        deform = jnp.concatenate(deforms)
-        v_def = jnp.asarray(verts) + deform
+        # one dispatch for the whole SDF+deform lattice query
+        geo = volume.query_chunked(self._geo_query, ctx,
+                                   jnp.asarray(verts), chunk=chunk)
+        sdf = geo[:, 0]
+        v_def = jnp.asarray(verts) + geo[:, 1:]
 
         # reference SDF convention: positive inside (lrm_mesh.py:133-134
         # forces the grid center positive / boundary negative), matching
-        # marching_tets_diff's inside-positive contract directly.
-        # Device-side chunked sweep (ops.tetra.sweep_tets): one-shot
-        # [T,4,3] temporaries OOM v5e at 128³, and per-chunk host
-        # transfers dominated wall-clock over the device tunnel
-        tris, _ = tetra.sweep_tets(v_def, sdf, tets_arr,
-                                   max_tris=max_tris)
-        v, f = tetra.weld(tris, tris.shape[0])
+        # the extractor's inside-positive contract directly. The sparse
+        # deformed-grid sweep compacts active cells on device — one
+        # dispatch, count-sized D2H (ops/tetra.py).
+        cap = max_tris
+        for attempt in range(4):
+            soup, count, overflow = tetra.marching_tets_deformed(
+                v_def, sdf, res, max_tris=cap)
+            v_dev, f_dev, nv, nf, v_ovf = tetra.weld_device(
+                soup, count, max_verts=cap)
+            if not (bool(overflow) or bool(v_ovf)):
+                if not hasattr(self, "_cap_memo"):
+                    self._cap_memo = {}
+                self._cap_memo[res] = cap
+                break
+            if attempt == 3:
+                import warnings
+                warnings.warn("marching tets overflow in InstantMesh "
+                              f"extract_mesh (capacity {cap})")
+                break
+            cap *= 2
+        cols = None
+        if with_color:
+            cols = volume.query_chunked(self._rgb_query, ctx, v_dev,
+                                        chunk=chunk)
+            cols = jnp.clip(jnp.round(cols * 255.0), 0, 255) \
+                .astype(jnp.uint8)
         from ...core.mesh import Mesh
-        mesh = Mesh(v=v, f=f)
-        if with_color and mesh.num_vertices:
-            qc = jax.jit(lambda pts: self.model.apply(
-                {"params": self.params}, planes, pts,
-                method=InstantMesh.query_color))
-            cols = []
-            mv = jnp.asarray(mesh.v)
-            for i in range(0, mv.shape[0], chunk):
-                cols.append(qc(mv[i:i + chunk]))
-            mesh.vc = np.clip(np.asarray(jnp.concatenate(cols)), 0, 1)
+        nv_i, nf_i = int(nv), int(nf)
+        mesh = Mesh(v=np.asarray(v_dev[:nv_i]),
+                    f=np.asarray(f_dev[:nf_i]))
+        if cols is not None and nv_i:
+            mesh.vc = np.asarray(cols[:nv_i], np.float32) / 255.0
         return mesh.auto_normal()

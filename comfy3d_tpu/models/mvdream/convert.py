@@ -394,3 +394,99 @@ def load_ldm_checkpoint(cls, ckpt_path: str, **cfg_overrides):
         pipe.set_vision_encoder(
             make_vision_hidden_conditioner(vparams, vcfg))
     return pipe
+
+
+# ------------------------------------------------------------------ #
+# LoRA / DoRA folding (CRM T2I V3)
+# ------------------------------------------------------------------ #
+def _get_path(tree, path):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def fold_lora_checkpoint(pipe, lora_path: str, alpha: float | None = None,
+                         verbose: bool = True) -> int:
+    """Fold a peft-injected LoRA/DoRA checkpoint into `pipe` in place.
+
+    The reference V3 loader (nodes.py:3629-3730) injects peft adapters
+    on to_q/to_k/to_v/to_k_ip/to_v_ip/to_out.0 and loads
+    `pixel-diffusion_{lora,dora}_*.pth` over the UNet with strict=False;
+    at inference the adapter output is W·x + (α/r)·B·A·x — an exact
+    weight-space fold W' = W + (α/r)·B·A (peft uses α=r here → scale 1),
+    and for DoRA W' = m ⊙ row_normalize(W + B·A), so folding at load
+    time reproduces the reference forward exactly with zero runtime
+    overhead. Returns the number of folded projections.
+    """
+    from ..convert import load_state_dict, to_numpy
+
+    sd = {k: to_numpy(v) for k, v in load_state_dict(lora_path).items()}
+    # keys come from `unet.state_dict()` (wrapper holding
+    # diffusion_model); tolerate the full-LDM prefix too
+    stripped = {}
+    for k, v in sd.items():
+        for pre in ("model.diffusion_model.", "diffusion_model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        stripped[k] = v
+    sd = stripped
+
+    nrb = getattr(getattr(pipe, "cfg", None), "unet", None)
+    rules = mv_unet_rules(nrb.layers_per_block if nrb is not None else 2)
+    pat = re.compile(r"(.+)\.lora_A\.([^.]+)\.weight$")
+    unet_tree = pipe.params["unet"] if "unet" in pipe.params \
+        else pipe.params
+    folded = 0
+    for key in list(sd):
+        m = pat.match(key)
+        if not m:
+            continue
+        mod, adapter = m.groups()
+        A = sd[key]                                        # [r, in]
+        B = sd.get(f"{mod}.lora_B.{adapter}.weight")       # [out, r]
+        if B is None:
+            continue
+        r = A.shape[0]
+        scale = (alpha if alpha is not None else r) / r
+        base = sd.get(f"{mod}.base_layer.weight")
+        out = rules(f"{mod}.weight",
+                    np.zeros((B.shape[0], A.shape[1]), np.float32))
+        if out is None:
+            if verbose:
+                print(f"[mvdream.fold_lora] no rule for {mod}")
+            continue
+        tree_name, path, _ = out
+        if tree_name != "unet":
+            continue
+        if base is None:
+            # reconstruct the torch-layout base from the already
+            # converted flax kernel ([in, out] → W = kernel.T)
+            base = np.asarray(
+                _get_path(unet_tree, path), np.float32).T
+        W = base + scale * (B @ A)
+        mag = sd.get(f"{mod}.lora_magnitude_vector.{adapter}.weight")
+        if mag is not None:                                # DoRA
+            norm = np.linalg.norm(W, axis=1)
+            W = W * (mag.reshape(-1) / np.maximum(norm, 1e-8))[:, None]
+        _, path2, arr = rules(f"{mod}.weight", W)
+        node = unet_tree
+        parts = path2.split("/")
+        for part in parts[:-1]:
+            node = node[part]
+        node[parts[-1]] = arr
+        # a fine-tuned bias may ride along under base_layer
+        b = sd.get(f"{mod}.base_layer.bias")
+        if b is not None:
+            bias_path = path2.rsplit("/", 1)[0] + "/bias"
+            bnode = unet_tree
+            bparts = bias_path.split("/")
+            for part in bparts[:-1]:
+                bnode = bnode[part]
+            bnode[bparts[-1]] = b
+        folded += 1
+    if verbose:
+        print(f"[mvdream.fold_lora] folded {folded} projections "
+              f"from {lora_path}")
+    return folded

@@ -1,3 +1,4 @@
-from .pipeline import TGSConfig, TGSPipeline
+from .model import TGSConfig, TGSModel
+from .pipeline import TGSPipeline
 
-__all__ = ["TGSConfig", "TGSPipeline"]
+__all__ = ["TGSConfig", "TGSModel", "TGSPipeline"]

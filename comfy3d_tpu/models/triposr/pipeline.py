@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.camera import Camera, get_rays
-from ...ops import raymarch, tetra
+from ...ops import raymarch, tetra, volume
 from .. import convert
 from .model import TripoSR, TripoSRConfig
 
@@ -27,6 +27,23 @@ class TripoSRPipeline:
         self.params = params
         self._forward = jax.jit(
             lambda p, imgs: self.model.apply({"params": p}, imgs))
+
+        # identity-stable query fns (ops.volume threads them as STATIC
+        # jit args; a fresh lambda per extract_mesh call would retrace
+        # the whole decode each time — measured seconds per call
+        # through the remote-compile tunnel)
+        def _sigma(ctx, pts):
+            p, tp = ctx
+            return self.model.apply({"params": p}, tp, pts,
+                                    method=TripoSR.query)[0]
+
+        def _rgb(ctx, pts):
+            p, tp = ctx
+            return self.model.apply({"params": p}, tp, pts,
+                                    method=TripoSR.query)[1]
+
+        self._sigma_query = _sigma
+        self._rgb_query = _rgb
 
     # -------------------------------------------------------------- #
     @classmethod
@@ -92,29 +109,39 @@ class TripoSRPipeline:
 
     def extract_mesh(self, triplanes, resolution: int = 256,
                      threshold: float = 25.0, max_tris: int = 2_000_000,
-                     with_color: bool = True):
+                     with_color: bool = True, on_overflow: str = "retry"):
         """Density grid → marching-tets mesh (+ vertex colors), the
-        reference `extract_mesh` (system.py:160-207; PyMCubes there)."""
-        query = jax.jit(lambda pts: self.model.apply(
-            {"params": self.params}, triplanes, pts, method=TripoSR.query))
-        lin = jnp.linspace(-self.cfg.radius, self.cfg.radius, resolution)
-        gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
-        pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
-        chunk = 262144
-        sigmas = []
-        for i in range(0, pts.shape[0], chunk):
-            sigmas.append(query(pts[i:i + chunk])[0])
-        grid = jnp.concatenate(sigmas).reshape(resolution, resolution,
-                                               resolution)
-        mesh = tetra.extract_isosurface(
-            np.asarray(grid, np.float32), iso=threshold,
-            bounds=(-self.cfg.radius, self.cfg.radius), max_tris=max_tris)
-        if with_color and mesh.num_vertices:
-            cols = []
-            v = jnp.asarray(mesh.v)
-            for i in range(0, v.shape[0], chunk):
-                cols.append(query(v[i:i + chunk])[1])
-            mesh.vc = np.asarray(jnp.concatenate(cols))
+        reference `extract_mesh` (system.py:160-207; PyMCubes there).
+
+        The grid decode is ONE device dispatch, coarse-to-fine when the
+        resolution chain allows (ops.volume; the role of the reference's
+        hierarchical volume decoders, volume_decoders.py:185-280) —
+        resolutions like 256 are bumped by one vertex so the 2× chain
+        exists; the iso surface is unaffected."""
+        from ...core.mesh import Mesh
+        r = int(resolution)
+        if volume.hier_plan(r) is None and volume.hier_plan(r + 1):
+            r += 1
+        ctx = (self.params, triplanes)
+        grid = volume.decode_grid(self._sigma_query, ctx, r,
+                                  self.cfg.radius, iso=threshold)
+        v_dev, f_dev, nv, nf = tetra.extract_isosurface_device(
+            grid, iso=threshold,
+            bounds=(-self.cfg.radius, self.cfg.radius),
+            max_tris=max_tris, on_overflow=on_overflow)
+        cols = None
+        if with_color:
+            # query colors on the still-on-device vertex buffer and
+            # ship uint8 — the tunnel moves ~7 MB/s, so bytes matter
+            cols = volume.query_chunked(self._rgb_query, ctx, v_dev,
+                                        chunk=262144)
+            cols = jnp.clip(jnp.round(cols * 255.0), 0, 255) \
+                .astype(jnp.uint8)
+        nv_i, nf_i = int(nv), int(nf)
+        mesh = Mesh(v=np.asarray(v_dev[:nv_i]),
+                    f=np.asarray(f_dev[:nf_i]))
+        if cols is not None and nv_i:
+            mesh.vc = np.asarray(cols[:nv_i], np.float32) / 255.0
         return mesh.auto_normal()
 
 

@@ -241,8 +241,22 @@ def _crm6_camposes():
 
 
 def _adapter_for(sampler):
-    """Adapter config matched to the sampler's UNet stage widths."""
+    """T2IAdapterV2 runner: real weights from Checkpoints/T2I_V2 when
+    present (reference nodes.py:3560/3693 `T2IAdapterV2.from_pretrained
+    (t2i_v2_checkpoints_dir)`), else random at the sampler's UNet stage
+    widths."""
+    import os
+    from . import base
     from ..models.crm.t2i_adapter import T2IAdapterConfig
+    from ..models.crm.t2i_convert import load_adapter_dir
+    adir = os.path.join(base.CKPT_ROOT_PATH, "T2I_V2")
+    loaded = load_adapter_dir(adir) if os.path.isdir(adir) else None
+    if loaded is not None:
+        cfg, params = loaded
+        print(f"[Load_CRM_T2I] loaded T2IAdapterV2 from {adir}")
+        runner = _T2IAdapterRunner(cfg)
+        runner.params = params
+        return runner
     return _T2IAdapterRunner(T2IAdapterConfig(
         channels=tuple(sampler.cfg.unet.block_out_channels)))
 
@@ -266,9 +280,16 @@ class Load_CRM_T2I_V2_Models:
 
     def load_CRM(self, crm_model_name="pixel-diffusion.pth",
                  crm_config_path="sd_v2_base_ipmv_zero_SNR.yaml"):
-        sampler = maybe_shard(_mvdream_6view())
-        print("[Load_CRM_T2I_V2_Models] initializing random weights "
-              "(no local checkpoints)")
+        import os
+        from . import base
+        path = os.path.join(base.CKPT_ROOT_PATH, "CRM", crm_model_name)
+        if os.path.exists(path):
+            print(f"[Load_CRM_T2I_V2_Models] loading {path}")
+            sampler = maybe_shard(_mvdream_6view(path))
+        else:
+            print("[Load_CRM_T2I_V2_Models] initializing random "
+                  f"weights ({path} not found)")
+            sampler = maybe_shard(_mvdream_6view())
         return (_adapter_for(sampler), sampler)
 
 
@@ -298,11 +319,24 @@ class Load_CRM_T2I_V3_Models:
     def load_CRM(self, crm_model_name="pixel-diffusion_Hyper.pth",
                  crm_t2i_v3_model_name="", crm_config_path="",
                  rank=64, use_dora=False):
-        sampler = maybe_shard(_mvdream_6view())
+        import os
+        from . import base
+        path = os.path.join(base.CKPT_ROOT_PATH, "CRM", crm_model_name)
+        if os.path.exists(path):
+            print(f"[Load_CRM_T2I_V3_Models] loading {path}")
+            sampler = _mvdream_6view(path)
+            lora = os.path.join(base.CKPT_ROOT_PATH, "CRM_T2I_V3",
+                                crm_t2i_v3_model_name)
+            if crm_t2i_v3_model_name and os.path.exists(lora):
+                from ..models.mvdream.convert import fold_lora_checkpoint
+                fold_lora_checkpoint(sampler, lora)
+            sampler = maybe_shard(sampler)
+        else:
+            print("[Load_CRM_T2I_V3_Models] initializing random "
+                  f"weights ({path} not found)")
+            sampler = maybe_shard(_mvdream_6view())
         sampler.lora_rank = int(rank)
         sampler.use_dora = bool(use_dora)
-        print("[Load_CRM_T2I_V3_Models] initializing random weights "
-              "(no local checkpoints)")
         return (_adapter_for(sampler), sampler)
 
 

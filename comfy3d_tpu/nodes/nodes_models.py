@@ -443,7 +443,18 @@ class Load_Triplane_Gaussian_Transformers:
 
     def load_TGS(self, model_name="model_lvis_rel.ckpt"):
         from ..models.tgs import TGSPipeline
-        pipe = TGSPipeline.init_random()
+        path = os.path.join(self.checkpoints_dir_abs, model_name)
+        if os.path.exists(path):
+            from ..models.tgs.convert import load_tgs_checkpoint
+            print(f"[Load_Triplane_Gaussian_Transformers] loading {path}")
+            dino_dir = os.path.join(base.CKPT_ROOT_PATH, "dinov2-base")
+            pipe = load_tgs_checkpoint(
+                path, dinov2_dir=dino_dir
+                if os.path.isdir(dino_dir) else None)
+        else:
+            print("[Load_Triplane_Gaussian_Transformers] initializing "
+                  f"random weights ({path} not found)")
+            pipe = TGSPipeline.init_random()
         return (maybe_shard(pipe),)
 
 
@@ -474,9 +485,9 @@ class Triplane_Gaussian_Transformers:
         img = np.asarray(img_utils.composite_background(
             jnp.asarray(reference_image), jnp.asarray(reference_mask),
             (1.0, 1.0, 1.0)))[0]
-        cam = tgs_model.default_camera()
-        cam[0, 11] = float(cam_dist)          # c2w z-translation entry
-        splat = tgs_model(img, camera=cam)
+        mask = np.asarray(reference_mask, np.float32)
+        mask = mask[0] if mask.ndim == 3 else mask
+        splat = tgs_model(img, mask=mask, cam_dist=float(cam_dist))
         return (splat,)
 
 

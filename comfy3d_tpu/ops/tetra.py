@@ -128,102 +128,125 @@ def _tet_triangles(pos, val, inside):
     return tris, tri_valid
 
 
-@partial(jax.jit, static_argnames=("max_tris", "slab", "slab_cap"))
+def _cells_to_tris(pos, vals, max_tris: int):
+    """Active cells → compacted triangle soup.
+
+    pos: [K, 8, 3] cell corner positions; vals: [K, 8] signed field
+    (>0 inside). Returns (soup [max_tris, 3, 3], count, overflow) where
+    count is the TRUE number of valid triangles (may exceed max_tris →
+    overflow). One top_k over K*12 entries does the whole compaction —
+    triangle order is irrelevant for a soup, so a full stable argsort
+    (and the append-loop layout churn it forced) is unnecessary.
+    """
+    tets = jnp.asarray(_TETS)
+    tp = pos[:, tets].reshape(-1, 4, 3)              # [K*6, 4, 3]
+    tv = vals[:, tets].reshape(-1, 4)
+    tris, valid = _tet_triangles(tp, tv, tv > 0)
+    flatv = valid.reshape(-1)
+    count = flatv.sum(dtype=jnp.int32)
+    k = min(max_tris, flatv.shape[0])
+    _, order = jax.lax.top_k(flatv.astype(jnp.int32), k)
+    # gather in a [9, T] triangle-minor layout: gathering [T, 2, 3, 3]
+    # rows directly forces a copy whose (8,128) tile padding on the
+    # tiny minor dims inflates 57× (27.6 GB OOM at K=1M, measured)
+    t9 = tris.reshape(-1, 9).T                       # [9, K*12]
+    soup9 = jnp.take(t9, order, axis=1) \
+        * flatv[order].astype(t9.dtype)[None, :]     # zero invalid
+    soup = soup9.T.reshape(k, 3, 3)
+    if k < max_tris:
+        soup = jnp.pad(soup, ((0, max_tris - k), (0, 0), (0, 0)))
+    return soup, jnp.minimum(count, max_tris), count > max_tris
+
+
+@partial(jax.jit, static_argnames=("max_tris", "cell_cap"))
 def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
                        origin=(-1.0, -1.0, -1.0), spacing=None,
-                       max_tris: int = 200_000, slab: int = 8,
-                       slab_cap: int = 131_072):
-    """Extract the iso-surface of a dense [R, R, R] field.
+                       max_tris: int = 200_000,
+                       cell_cap: int | None = None):
+    """Extract the iso-surface of a dense [X, Y, Z] field.
 
     `grid` is signed relative to `iso`: surface where grid == iso, inside
     where grid > iso (density convention; negate an SDF before calling).
-    Returns (verts [max_tris*3, 3] triangle soup, tri_count, overflow).
+    Returns (verts [max_tris, 3, 3] triangle soup, tri_count, overflow).
 
-    Compaction is a per-slab stable argsort (valid-first) + contiguous
-    dynamic_update_slice in a [9, T] triangle-minor layout — a scatter
-    here serializes on TPU and dominated the whole sweep (~30 s at
-    192³); the sort-compact version is bandwidth-bound. `slab_cap`
-    bounds triangles per z-slab (overflow-flagged).
+    Two-pass sparse design: (1) an elementwise crossing mask over all
+    cells + one top_k compaction picks ≤cell_cap active cells; (2) the
+    tet case machinery runs on active cells only, with a second top_k
+    gathering valid triangles straight into the output. The previous
+    per-z-slab append loop spent its time in layout copies/reshapes and
+    32 stable argsorts (jax.profiler: 4.0 s warm @256³, of which the
+    actual case logic was <0.5 s); this version is one fused pass.
     """
-    r = grid.shape[0]
     if spacing is None:
-        spacing = 2.0 / (r - 1)
+        spacing = 2.0 / (grid.shape[0] - 1)
     origin = jnp.asarray(origin, jnp.float32)
     field = grid - iso
-    ncells = r - 1
-    ncells_y = grid.shape[1] - 1        # y/z may be partition blocks
-    ncells_z = grid.shape[2] - 1
-    nslabs = -(-ncells_z // slab)
-    pad_z = nslabs * slab + 1 - grid.shape[2]
-    field_pad = (jnp.pad(field, ((0, 0), (0, 0), (0, pad_z)))
-                 if pad_z > 0 else field)
+    ncx, ncy, ncz = (grid.shape[0] - 1, grid.shape[1] - 1,
+                     grid.shape[2] - 1)
+    ncells = ncx * ncy * ncz
+    if cell_cap is None:
+        # a crossing cell yields 1-12 triangles, typically ~2; /4 keeps
+        # the [K*6, 4, 3] tet temporaries bounded (~300 MB at 2M tris)
+        cell_cap = max(4096, max_tris // 4)
+    cell_cap = min(cell_cap, ncells)
 
-    # global triangle count prefix per slab for compact output offsets
-    def slab_tris(s0):
-        """Triangles for cells with z-index in [s0, s0+slab)."""
-        zs = s0 + jnp.arange(slab)
-        sl = jax.lax.dynamic_slice_in_dim(field_pad, s0, slab + 1,
-                                          axis=2)
-        # corner values per cell [ncells, ncells, slab, 8]
-        cx, cy, cz = _CORNERS[:, 0], _CORNERS[:, 1], _CORNERS[:, 2]
-        vals = jnp.stack([
-            sl[cx[k]: cx[k] + ncells, cy[k]: cy[k] + ncells_y,
-               cz[k]: cz[k] + slab] for k in range(8)], -1)
-        # positions
-        ix = jnp.arange(ncells)
-        iy = jnp.arange(ncells_y)
-        gx, gy, gz = jnp.meshgrid(ix, iy, zs, indexing="ij")
-        base = jnp.stack([gx, gy, gz], -1).astype(jnp.float32)
-        corner_off = jnp.asarray(_CORNERS, jnp.float32)
-        pos = (base[..., None, :] + corner_off) * spacing + origin
+    # pass 1: crossing mask over all cells (elementwise) → top_k compact
+    s = field > 0
+    corner = [s[dx:dx + ncx, dy:dy + ncy, dz:dz + ncz]
+              for dx, dy, dz in _CORNERS]
+    any_in = corner[0]
+    all_in = corner[0]
+    for c in corner[1:]:
+        any_in = any_in | c
+        all_in = all_in & c
+    crossing = (any_in & ~all_in).reshape(-1)
+    n_active = crossing.sum(dtype=jnp.int32)
+    _, cell_idx = jax.lax.top_k(crossing.astype(jnp.int32), cell_cap)
 
-        pos = pos.reshape(-1, 8, 3)
-        vals = vals.reshape(-1, 8)
-        zvalid = (gz < ncells_z).reshape(-1)
+    # pass 2: gather corners of active cells, run the tet cases
+    ci = cell_idx // (ncy * ncz)
+    cj = (cell_idx // ncz) % ncy
+    ck = cell_idx % ncz
+    vals = jnp.stack([field[ci + dx, cj + dy, ck + dz]
+                      for dx, dy, dz in _CORNERS], -1)      # [K, 8]
+    base = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)  # [K, 3]
+    corner_off = jnp.asarray(_CORNERS, jnp.float32)
+    pos = (base[:, None, :] + corner_off) * spacing + origin
 
-        tets = jnp.asarray(_TETS)
-        tp = pos[:, tets].reshape(-1, 4, 3)         # [C*6, 4, 3]
-        tv = vals[:, tets].reshape(-1, 4)
-        inside = tv > 0
-        tris, valid = _tet_triangles(tp, tv, inside)
-        valid = valid & zvalid.repeat(6)[:, None]
-        return tris.reshape(-1, 3, 3), valid.reshape(-1)
-
-    cap = min(slab_cap, max_tris)
-    nv_out = jnp.zeros((9, max_tris + cap), jnp.float32)
-
-    def body(i, state):
-        out, count, ovf = state
-        tris, valid = slab_tris(i * slab)
-        t9 = tris.reshape(-1, 9).T                        # [9, M]
-        order = jnp.argsort(
-            jnp.where(valid, jnp.uint32(0), jnp.uint32(1)),
-            stable=True)
-        block = t9[:, order[:cap]]                        # [9, cap]
-        nval = valid.sum(dtype=jnp.int32)
-        out = jax.lax.dynamic_update_slice(out, block, (0, count))
-        ovf = ovf | (nval > cap)
-        return out, jnp.minimum(count + jnp.minimum(nval, cap),
-                                max_tris), ovf
-
-    out, count, overflow = jax.lax.fori_loop(
-        0, nslabs, body, (nv_out, jnp.int32(0), jnp.bool_(False)))
-    overflow = overflow | (count >= max_tris)
-    soup = out.T[:max_tris].reshape(max_tris, 3, 3)
-    return soup, jnp.minimum(count, max_tris), overflow
+    soup, count, tri_ovf = _cells_to_tris(pos, vals, max_tris)
+    return soup, count, tri_ovf | (n_active > cell_cap)
 
 
 def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
     """Host-side vertex weld: triangle soup → (v [Nv,3], f [Nf,3]).
     Counterpart of the index dedup trimesh does inside the reference's
-    mesh-from-marching-cubes path."""
+    mesh-from-marching-cubes path.
+
+    Fast path packs the quantized coordinates into one int64 key so the
+    dedup is a 1-D np.unique (a single sort) — `np.unique(axis=0)` on
+    the same 6M-row soup took 11.4 s host-side, the packed key ~0.5 s.
+    Falls back to the row-wise unique only if the quantized range
+    can't fit 63 bits (>2.9e5 distinct positions per axis at the
+    default decimals=6 tolerance never does for unit-scale assets).
+    """
     tris = np.asarray(tri_soup[:tri_count]).reshape(-1, 3)
-    keys = np.round(tris, decimals)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    # representative positions (first occurrence, unrounded)
-    order = np.arange(len(inv))
-    first = np.full(len(uniq), len(inv), np.int64)
-    np.minimum.at(first, inv, order)
+    if len(tris) == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    q = np.round(tris * (10.0 ** decimals)).astype(np.int64)
+    q -= q.min(0)
+    spans = q.max(0) + 1
+    bits = [int(s).bit_length() for s in spans]
+    if sum(bits) <= 63:
+        key = ((q[:, 0] << (bits[1] + bits[2]))
+               | (q[:, 1] << bits[2]) | q[:, 2])
+        uniq, first, inv = np.unique(key, return_index=True,
+                                     return_inverse=True)
+    else:   # huge coordinate range: row-wise unique (slow, exact)
+        keys = np.round(tris, decimals)
+        uniq_rows, inv = np.unique(keys, axis=0, return_inverse=True)
+        order = np.arange(len(inv))
+        first = np.full(len(uniq_rows), len(inv), np.int64)
+        np.minimum.at(first, inv, order)
     v = tris[first].astype(np.float32)
     f = inv.reshape(-1, 3).astype(np.int32)
     # drop degenerate faces produced by welding
@@ -232,60 +255,212 @@ def weld(tri_soup: np.ndarray, tri_count: int, decimals: int = 6):
     return v, f[keep]
 
 
+@partial(jax.jit, static_argnames=("max_verts", "decimals"))
+def weld_device(soup, count, max_verts: int, decimals: int = 6):
+    """On-device vertex weld: soup [T,3,3] + count → compact mesh.
+
+    Returns (v [max_verts, 3], f [T, 3] int32, nv, nf, overflow).
+    Quantizes to 10^-decimals, lexsorts the quantized triples, marks
+    run starts, and builds faces through the inverse permutation — all
+    sorts/gathers stay in transposed point-minor layouts (row gathers
+    of [N, 3] arrays pad the 3-wide minor dim to 128 on TPU).
+
+    Motivation: the host round-trip weld moved the full triangle soup
+    over the device tunnel (~7 MB/s measured — 4.5 s for a 32 MB soup)
+    and spent 3.7 s in host np.unique; welding on device ships only
+    the ~3× smaller final mesh.
+    """
+    T = soup.shape[0]
+    pts = soup.reshape(-1, 3)                      # [3T, 3]
+    valid = jnp.repeat(jnp.arange(T) < count, 3)
+    scale = 10.0 ** decimals
+    q = jnp.round(pts * scale).astype(jnp.int32)
+    big = jnp.int32(2 ** 31 - 1)
+    q = jnp.where(valid[:, None], q, big)          # invalid sorts last
+    order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    q3 = q.T                                       # [3, 3T]
+    qs = jnp.take(q3, order, axis=1)               # sorted, [3, 3T]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(qs[:, 1:] != qs[:, :-1], axis=0)])
+    first = first & (qs[0] != big)
+    vid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    nv = first.sum(dtype=jnp.int32)
+
+    # representative original point index per unique vertex; invalid
+    # tail entries (vid pinned at nv-1 by the cumsum) are routed
+    # out-of-bounds so mode="drop" discards them instead of
+    # clobbering the last real vertex
+    valid_sorted = qs[0] != big
+    widx = jnp.where(valid_sorted,
+                     jnp.minimum(vid_sorted, max_verts - 1), max_verts)
+    vtab = jnp.zeros((max_verts,), jnp.int32)
+    vtab = vtab.at[widx].set(order, mode="drop")
+    v_out = jnp.take(pts.T, vtab, axis=1).T        # [max_verts, 3]
+    v_out = v_out * (jnp.arange(max_verts) < nv)[:, None]
+
+    # faces via the inverse permutation of the sort
+    inv = jnp.zeros((3 * T,), jnp.int32).at[order].set(vid_sorted)
+    f = inv.reshape(T, 3)
+    valid_f = ((jnp.arange(T) < count)
+               & (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+               & (f[:, 0] != f[:, 2]))
+    _, forder = jax.lax.top_k(valid_f.astype(jnp.int32), T)
+    f = (jnp.take(f.T, forder, axis=1)
+         * valid_f[forder].astype(jnp.int32)[None, :]).T
+    nf = valid_f.sum(dtype=jnp.int32)
+    return v_out, f, nv, nf, nv > max_verts
+
+
+def _soup_to_host(soup, count):
+    """Device soup [cap,3,3] + device count → host [n,3,3].
+
+    Slices to the true count ON DEVICE before transferring: the tunnel
+    to the remote chip moves ~11 MB/s, so shipping the 72 MB fixed-cap
+    buffer cost 6.4 s where the real 200k-triangle payload is 7 MB."""
+    n = int(count)
+    return np.asarray(soup[:n]) if n else np.zeros((0, 3, 3), np.float32)
+
+
+def extract_isosurface_device(grid, iso: float = 0.0,
+                              bounds=(-1.0, 1.0),
+                              max_tris: int = 400_000,
+                              on_overflow: str = "retry"):
+    """Sweep + weld entirely on device (single-block grids).
+
+    Returns (v [cap, 3], f [cap2, 3], nv, nf) as DEVICE arrays — the
+    caller slices/transfers (or queries vertex colors first, saving a
+    host round-trip). Retries with doubled capacity on overflow like
+    `extract_isosurface`.
+    """
+    r = grid.shape[0]
+    spacing = (bounds[1] - bounds[0]) / (r - 1)
+    cap = max_tris
+    for attempt in range(4):
+        soup, count, overflow = marching_tets_grid(
+            jnp.asarray(grid), iso=iso, origin=(bounds[0],) * 3,
+            spacing=spacing, max_tris=cap)
+        v, f, nv, nf, v_ovf = weld_device(soup, count, max_verts=cap)
+        overflow = bool(overflow) or bool(v_ovf)
+        if not overflow:
+            return v, f, nv, nf
+        if on_overflow == "raise":
+            raise RuntimeError(
+                f"marching tets overflow: capacity {cap} hit")
+        if on_overflow != "retry" or attempt == 3:
+            import warnings
+            warnings.warn(
+                f"marching tets overflow: capacity {cap} hit")
+            return v, f, jnp.minimum(nv, cap), nf
+        cap *= 2
+    raise AssertionError  # unreachable
+
+
 def extract_isosurface(grid, iso: float = 0.0, bounds=(-1.0, 1.0),
-                       max_tris: int = 400_000, max_block: int = 256):
+                       max_tris: int = 400_000, max_block: int = 288,
+                       on_overflow: str = "retry"):
     """Grid → welded Mesh (host hop at the stage boundary).
 
     Counterpart of reference `marching_cubes_density_to_mesh`
     (`mesh_utils.py:488-519`) minus the pymeshlab clean (see native/).
     Grids larger than `max_block` per axis are swept in overlapping
     y/z-partitions (the remote AOT compiler rejects ≥320³ one-shot
-    programs), then welded into one mesh. Single-shot 256³ runs ~4 s
-    warm on v5e; the partitioned sweep costs ~2x for the overlap."""
+    programs), then welded into one mesh.
+
+    on_overflow: "retry" re-runs with doubled capacity (up to 8×,
+    paying one fresh compile per doubling), "raise" errors, "warn"
+    keeps the clipped soup (old behavior).
+    """
     from ..core.mesh import Mesh
     r = grid.shape[0]
     spacing = (bounds[1] - bounds[0]) / (r - 1)
-    if r <= max_block:
-        soup, count, overflow = marching_tets_grid(
-            jnp.asarray(grid), iso=iso,
-            origin=(bounds[0],) * 3, spacing=spacing,
-            max_tris=max_tris)
-        v, f = weld(np.asarray(soup), int(count))
-        if bool(overflow):
-            import warnings
-            warnings.warn(
-                f"marching tets overflow: capacity {max_tris} hit")
-        return Mesh(v=v, f=f)
 
-    grid = np.asarray(grid)
-    nblocks = -(-(r - 1) // (max_block - 1))
-    # full budget per block: the surface is rarely uniform across
-    # partitions, and a block soup is only max_tris*36B host-side
-    per_cap = max_tris
-    soups = []
-    for bj in range(nblocks):
-        y0 = bj * (max_block - 1)
-        y1 = min(y0 + max_block, r)
-        for bi in range(nblocks):
-            z0 = bi * (max_block - 1)
-            z1 = min(z0 + max_block, r)
-            sub = jnp.asarray(grid[:, y0:y1, z0:z1])
-            # thin slabs: the x-extent stays full, so per-slab tet
-            # counts (and their tile-padded intermediates) must shrink
-            soup, count, overflow = marching_tets_grid(
-                sub, iso=iso,
-                origin=(bounds[0], bounds[0] + y0 * spacing,
-                        bounds[0] + z0 * spacing),
-                spacing=spacing, max_tris=per_cap, slab=4)
-            soups.append(np.asarray(soup)[:int(count)])
-            if bool(overflow):
+    def sweep(sub, org, cap):
+        return marching_tets_grid(jnp.asarray(sub), iso=iso, origin=org,
+                                  spacing=spacing, max_tris=cap)
+
+    def sweep_retry(sub, org, what):
+        cap = max_tris
+        for attempt in range(4):
+            soup, count, overflow = sweep(sub, org, cap)
+            if not bool(overflow):
+                return _soup_to_host(soup, count)
+            if on_overflow == "raise":
+                raise RuntimeError(
+                    f"marching tets overflow: capacity {cap} hit ({what})")
+            if on_overflow != "retry" or attempt == 3:
                 import warnings
                 warnings.warn(
-                    f"marching tets overflow in block {bj},{bi}")
-    allsoup = (np.concatenate(soups) if soups
-               else np.zeros((0, 3, 3), np.float32))
+                    f"marching tets overflow: capacity {cap} hit ({what})")
+                return _soup_to_host(soup, count)
+            cap *= 2
+        raise AssertionError  # unreachable
+
+    if r <= max_block:
+        allsoup = sweep_retry(grid, (bounds[0],) * 3, "single block")
+    else:
+        grid = np.asarray(grid)
+        nblocks = -(-(r - 1) // (max_block - 1))
+        soups = []
+        for bj in range(nblocks):
+            y0 = bj * (max_block - 1)
+            y1 = min(y0 + max_block, r)
+            for bi in range(nblocks):
+                z0 = bi * (max_block - 1)
+                z1 = min(z0 + max_block, r)
+                soups.append(sweep_retry(
+                    grid[:, y0:y1, z0:z1],
+                    (bounds[0], bounds[0] + y0 * spacing,
+                     bounds[0] + z0 * spacing), f"block {bj},{bi}"))
+        allsoup = (np.concatenate(soups) if soups
+                   else np.zeros((0, 3, 3), np.float32))
     v, f = weld(allsoup, len(allsoup))
     return Mesh(v=v, f=f)
+
+
+@partial(jax.jit, static_argnames=("res", "max_tris", "cell_cap"))
+def marching_tets_deformed(v_def: jnp.ndarray, sdf: jnp.ndarray,
+                           res: int, max_tris: int = 200_000,
+                           cell_cap: int | None = None):
+    """Sparse marching tets over a DEFORMED regular grid.
+
+    v_def: [res³, 3] deformed vertex positions (grid topology intact);
+    sdf: [res³] signed field (>0 inside). The InstantMesh/FlexiCubes
+    extract path (ref `lrm_mesh.py:340`) deforms grid vertices before
+    extraction — connectivity stays regular, so the same crossing-mask
+    + top_k cell compaction applies, with corner positions gathered
+    from `v_def` instead of computed from indices. Returns
+    (soup [max_tris, 3, 3], count, overflow). Gradients flow into
+    v_def/sdf through the gathered edge interpolation (topology is
+    stop-gradient, as in `marching_tets_diff`).
+    """
+    nc = res - 1
+    field = sdf.reshape(res, res, res)
+    if cell_cap is None:
+        cell_cap = max(4096, max_tris // 4)
+    cell_cap = min(cell_cap, nc ** 3)
+
+    s = field > 0
+    corner = [s[dx:dx + nc, dy:dy + nc, dz:dz + nc]
+              for dx, dy, dz in _CORNERS]
+    any_in = corner[0]
+    all_in = corner[0]
+    for c in corner[1:]:
+        any_in = any_in | c
+        all_in = all_in & c
+    crossing = (any_in & ~all_in).reshape(-1)
+    n_active = crossing.sum(dtype=jnp.int32)
+    _, cell_idx = jax.lax.top_k(crossing.astype(jnp.int32), cell_cap)
+
+    ci = cell_idx // (nc * nc)
+    cj = (cell_idx // nc) % nc
+    ck = cell_idx % nc
+    vids = jnp.stack([((ci + dx) * res + (cj + dy)) * res + (ck + dz)
+                      for dx, dy, dz in _CORNERS], -1)     # [K, 8]
+    pos = v_def[vids]                                      # [K, 8, 3]
+    vals = sdf[vids]
+    soup, count, tri_ovf = _cells_to_tris(pos, vals, max_tris)
+    return soup, count, tri_ovf | (n_active > cell_cap)
 
 
 # ------------------------------------------------------------------ #

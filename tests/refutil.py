@@ -685,3 +685,105 @@ def install_trellis_sparse():
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
     _sparse_installed = True
+
+
+_tgs_installed = False
+
+
+def install_tgs():
+    """Extra stubs for the TriplaneGaussian chain: cv2 + pytorch3d
+    (imported at utils/ops.py module scope; the rasterization entry
+    points are never called by the modules under parity test),
+    torch_scatter (pure-torch scatter_mean/max with torch_scatter 2.x
+    semantics: untouched entries stay 0, touched get the true reduce)
+    and pointnet2_ops grouping (pure-torch gather)."""
+    global _tgs_installed
+    if _tgs_installed:
+        return
+    install()
+    import torch
+    import omegaconf
+    if not hasattr(omegaconf.OmegaConf, "register_new_resolver"):
+        omegaconf.OmegaConf.register_new_resolver = staticmethod(
+            lambda *a, **k: None)
+
+    cv2 = _stub("cv2")
+    cv2.DIST_L2 = 2
+    cv2.DIST_MASK_3 = 3
+    cv2.distanceTransform = None     # host EDT path not under test
+
+    p3d = _stub("pytorch3d")
+    p3r = _stub("pytorch3d.renderer")
+    for name in ("AlphaCompositor", "NormWeightedCompositor",
+                 "PointsRasterizationSettings", "PointsRasterizer",
+                 "PointsRenderer"):
+        setattr(p3r, name, type(name, (), {}))
+    p3rc = _stub("pytorch3d.renderer.cameras")
+    p3rc.CamerasBase = object
+    p3s = _stub("pytorch3d.structures")
+    p3s.Pointclouds = object
+    p3u = _stub("pytorch3d.utils")
+    p3uc = _stub("pytorch3d.utils.camera_conversions")
+    p3uc.cameras_from_opencv_projection = None
+    p3d.renderer = p3r
+    p3d.structures = p3s
+    p3d.utils = p3u
+
+    ts = _stub("torch_scatter")
+
+    def _expand_index(src, index, dim):
+        if index.dim() < src.dim():
+            for _ in range(src.dim() - index.dim()):
+                index = index.unsqueeze(-1)
+        return index.expand_as(src) if index.shape != src.shape \
+            else index
+
+    def scatter_mean(src, index, dim=-1, out=None, dim_size=None):
+        if out is None:
+            size = list(src.shape)
+            size[dim] = dim_size if dim_size is not None \
+                else int(index.max()) + 1
+            out = src.new_zeros(size)
+        idx = _expand_index(src, index, dim)
+        out = out.scatter_reduce(dim, idx, src, "mean",
+                                 include_self=False)
+        return out
+
+    def scatter_max(src, index, dim=-1, out=None, dim_size=None):
+        if out is None:
+            size = list(src.shape)
+            size[dim] = dim_size if dim_size is not None \
+                else int(index.max()) + 1
+            out = src.new_zeros(size)
+        idx = _expand_index(src, index, dim)
+        out = out.scatter_reduce(dim, idx, src, "amax",
+                                 include_self=False)
+        return out, None             # argmax unused by the reference
+
+    ts.scatter_mean = scatter_mean
+    ts.scatter_max = scatter_max
+
+    po = _stub("pointnet2_ops")
+    pou = _stub("pointnet2_ops.pointnet2_utils")
+
+    def grouping_operation(feat, idx):
+        """feat [B,C,N], idx [B,n,k] int → [B,C,n,k]."""
+        b, c, _ = feat.shape
+        _, n, k = idx.shape
+        flat = idx.reshape(b, 1, n * k).expand(b, c, n * k).long()
+        return feat.gather(2, flat).reshape(b, c, n, k)
+
+    pou.grouping_operation = grouping_operation
+    for name in ("furthest_point_sample", "gather_operation",
+                 "ball_query", "three_nn", "three_interpolate"):
+        setattr(pou, name, None)     # unused at inference
+    po.pointnet2_utils = pou
+
+    mpu = sys.modules.get("mesh_processer.mesh_utils") \
+        or _stub("mesh_processer.mesh_utils")
+    if not hasattr(mpu, "construct_list_of_gs_attributes"):
+        mpu.construct_list_of_gs_attributes = lambda *a, **k: []
+    if not hasattr(mpu, "write_gs_ply"):
+        mpu.write_gs_ply = lambda *a, **k: None
+    sys.modules["mesh_processer"].mesh_utils = mpu
+    _tgs_installed = True

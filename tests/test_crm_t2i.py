@@ -1,0 +1,182 @@
+"""CRM T2I V2/V3 parity: T2IAdapterV2 conversion + LoRA/DoRA folding.
+
+1. Instantiates the reference `T2IAdapterV2` (full_adapter,
+   `Gen_3D_Modules/CRM_T2I_V2/model/t2i_adapter_v2.py:265`) at a tiny
+   config with random init, converts through
+   `comfy3d_tpu.models.crm.t2i_convert`, and asserts the flax adapter
+   reproduces the torch feature pyramid.
+2. Folds fabricated peft-layout LoRA and DoRA checkpoints into a tiny
+   MVDream pipeline and asserts the folded projection equals the torch
+   adapter forward `W·x + (α/r)·B·A·x` (resp. the DoRA row-normalized
+   form) — the exact math the reference V3 loader's injected adapters
+   compute at inference (nodes.py:3629-3730).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import refutil
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from comfy3d_tpu.models.crm.t2i_adapter import (  # noqa: E402
+    T2IAdapter, T2IAdapterConfig)
+from comfy3d_tpu.models.crm.t2i_convert import (  # noqa: E402
+    convert_t2i_adapter)
+
+ATOL = 2e-4
+
+
+@pytest.fixture(scope="module")
+def torch_adapter():
+    refutil.install()
+    mod = refutil.load("CRM_T2I_V2.model.t2i_adapter_v2")
+    torch.manual_seed(0)
+    adapter = mod.T2IAdapterV2(
+        in_channels=3, channels=[8, 16], num_res_blocks=1,
+        conditioning_embedding_out_channels=(4, 8),
+        adapter_type="full_adapter").eval()
+    # zero-init conv_out would hide mid-stack conversion bugs
+    torch.nn.init.normal_(
+        adapter.adapter.conv2d_img_encoder.conv_out.weight, std=0.1)
+    torch.nn.init.normal_(
+        adapter.adapter.conv2d_img_encoder.conv_out.bias, std=0.1)
+    return adapter
+
+
+class TestT2IAdapterParity:
+    def test_feature_pyramid(self, torch_adapter):
+        x = torch.randn(2, 3, 64, 64)
+        with torch.no_grad():
+            ref = torch_adapter(x)
+
+        cfg = T2IAdapterConfig(channels=(8, 16), num_res_blocks=1,
+                               cond_channels=(4, 8))
+        params = convert_t2i_adapter(torch_adapter.state_dict())
+        model = T2IAdapter(cfg)
+        ours = model.apply(
+            {"params": params},
+            jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+        assert len(ours) == len(ref)
+        for i, (a, b) in enumerate(zip(ours, ref)):
+            got = np.asarray(a).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, b.numpy(), atol=ATOL,
+                                       err_msg=f"stage {i}")
+
+    def test_conversion_is_bijective(self, torch_adapter):
+        sd = torch_adapter.state_dict()
+        params = convert_t2i_adapter(sd)
+        n_leaves = len(jax.tree.leaves(params))
+        assert n_leaves == len(sd)
+
+
+# ------------------------------------------------------------------ #
+# LoRA / DoRA fold
+# ------------------------------------------------------------------ #
+def _tiny_pipe():
+    import dataclasses as dc
+    from comfy3d_tpu.models.mvdream import MVDreamConfig, MVDreamPipeline
+    cfg = MVDreamConfig()
+    cfg = dc.replace(
+        cfg, num_views=2, ip_dim=0, prompt_dim=16, image_size=32,
+        unet=dc.replace(cfg.unet, mv_views=2, ip_dim=0,
+                        cross_attention_dim=16,
+                        block_out_channels=(8, 16),
+                        layers_per_block=1, attention_head_dim=4,
+                        norm_groups=4, in_channels=4,
+                        down_block_types=("CrossAttnDownBlock2D",
+                                          "DownBlock2D"),
+                        up_block_types=("UpBlock2D",
+                                        "CrossAttnUpBlock2D")))
+    return MVDreamPipeline.init_random(cfg=cfg)
+
+
+def _kernel(pipe, path):
+    node = pipe.params["unet"]
+    for part in path.split("/"):
+        node = node[part]
+    return np.asarray(node)
+
+
+class TestLoraFold:
+    MOD = "input_blocks.1.1.transformer_blocks.0.attn1.to_q"
+    PATH = "down_0_attn_0/blocks_0/attn1/to_q/kernel"
+
+    def _fold(self, pipe, lora_sd):
+        from comfy3d_tpu.models.mvdream.convert import \
+            fold_lora_checkpoint
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "lora.pth")
+            torch.save(lora_sd, p)
+            return fold_lora_checkpoint(pipe, p)
+
+    def test_lora_fold_matches_adapter_forward(self):
+        pipe = _tiny_pipe()
+        w0 = _kernel(pipe, self.PATH)          # [in, out]
+        din, dout = w0.shape
+        r = 4
+        g = torch.Generator().manual_seed(1)
+        A = torch.randn(r, din, generator=g)
+        B = torch.randn(dout, r, generator=g)
+        base = torch.from_numpy(w0.T.copy())
+        sd = {
+            f"diffusion_model.{self.MOD}.base_layer.weight": base,
+            f"diffusion_model.{self.MOD}.lora_A.LoRA.weight": A,
+            f"diffusion_model.{self.MOD}.lora_B.LoRA.weight": B,
+        }
+        assert self._fold(pipe, sd) == 1
+        w1 = _kernel(pipe, self.PATH)
+        x = torch.randn(5, din, generator=g)
+        # peft LoRA forward with α=r: y = W x + B A x
+        y_ref = (x @ base.T + x @ A.T @ B.T).numpy()
+        y_ours = x.numpy() @ w1
+        np.testing.assert_allclose(y_ours, y_ref, atol=1e-4)
+
+    def test_dora_fold_matches_magnitude_norm(self):
+        pipe = _tiny_pipe()
+        w0 = _kernel(pipe, self.PATH)
+        din, dout = w0.shape
+        r = 4
+        g = torch.Generator().manual_seed(2)
+        A = torch.randn(r, din, generator=g)
+        B = torch.randn(dout, r, generator=g)
+        mag = torch.rand(dout, generator=g) + 0.5
+        base = torch.from_numpy(w0.T.copy())
+        sd = {
+            f"diffusion_model.{self.MOD}.base_layer.weight": base,
+            f"diffusion_model.{self.MOD}.lora_A.DoRA.weight": A,
+            f"diffusion_model.{self.MOD}.lora_B.DoRA.weight": B,
+            f"diffusion_model.{self.MOD}.lora_magnitude_vector"
+            ".DoRA.weight": mag,
+        }
+        assert self._fold(pipe, sd) == 1
+        w1 = _kernel(pipe, self.PATH)
+        V = (base + B @ A).numpy()
+        expect = (V * (mag.numpy()
+                       / np.linalg.norm(V, axis=1))[:, None]).T
+        np.testing.assert_allclose(w1, expect, atol=1e-4)
+
+    def test_fold_without_base_layer_uses_converted_params(self):
+        """A LoRA-only file (no base_layer keys) folds on top of the
+        already-loaded base weights."""
+        pipe = _tiny_pipe()
+        w0 = _kernel(pipe, self.PATH).copy()
+        din, dout = w0.shape
+        r = 2
+        g = torch.Generator().manual_seed(3)
+        A = torch.randn(r, din, generator=g)
+        B = torch.randn(dout, r, generator=g)
+        sd = {
+            f"diffusion_model.{self.MOD}.lora_A.LoRA.weight": A,
+            f"diffusion_model.{self.MOD}.lora_B.LoRA.weight": B,
+        }
+        assert self._fold(pipe, sd) == 1
+        w1 = _kernel(pipe, self.PATH)
+        np.testing.assert_allclose(w1, w0 + (B @ A).numpy().T,
+                                   atol=1e-4)

@@ -324,3 +324,53 @@ def test_binning_wide_keys_stable_path():
     np.testing.assert_array_equal(row0, [5, 17, 1_500_000])
     assert counts[1] == 1
     assert np.asarray(bins.prim_idx[1])[0] == 2_000_001
+
+
+class TestWeldDevice:
+    """On-device weld (ops/tetra.py weld_device) must reproduce the
+    host weld exactly: same welded vertex set, same face set."""
+
+    def test_matches_host_weld(self):
+        grid = sphere_grid()
+        soup, count, _ = tetra.marching_tets_grid(
+            jnp.asarray(grid), max_tris=100_000)
+        vh, fh = tetra.weld(np.asarray(soup), int(count))
+        v, f, nv, nf, ovf = tetra.weld_device(soup, count,
+                                              max_verts=100_000)
+        nv, nf = int(nv), int(nf)
+        assert not bool(ovf)
+        assert nv == len(vh) and nf == len(fh)
+        vd, fd = np.asarray(v[:nv]), np.asarray(f[:nf])
+        assert fd.max() < nv and fd.min() >= 0
+        key = lambda a: set(map(tuple, np.round(a * 1e6)
+                                .astype(np.int64).tolist()))
+        assert key(vd) == key(vh)
+        assert (key(vd[fd].mean(1) * 100)
+                == key(vh[fh].mean(1) * 100))
+
+    def test_empty(self):
+        grid = -np.ones((9, 9, 9), np.float32)
+        soup, count, _ = tetra.marching_tets_grid(
+            jnp.asarray(grid), max_tris=1000)
+        v, f, nv, nf, ovf = tetra.weld_device(soup, count,
+                                              max_verts=1000)
+        assert int(nv) == 0 and int(nf) == 0 and not bool(ovf)
+
+    def test_overflow_flag(self):
+        grid = sphere_grid()
+        soup, count, _ = tetra.marching_tets_grid(
+            jnp.asarray(grid), max_tris=100_000)
+        *_, ovf = tetra.weld_device(soup, count, max_verts=64)
+        assert bool(ovf)
+
+
+class TestDeviceExtract:
+    def test_matches_host_extract(self):
+        grid = sphere_grid()
+        mesh = tetra.extract_isosurface(grid, max_tris=100_000)
+        v, f, nv, nf = tetra.extract_isosurface_device(
+            grid, max_tris=100_000)
+        assert int(nv) == mesh.num_vertices
+        assert int(nf) == mesh.num_faces
+        radii = np.linalg.norm(np.asarray(v[:int(nv)]), axis=-1)
+        np.testing.assert_allclose(radii.mean(), 0.6, atol=0.02)

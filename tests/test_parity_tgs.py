@@ -1,0 +1,403 @@
+"""TriplaneGaussian weight-conversion parity vs the reference torch
+modules (`Gen_3D_Modules/TriplaneGaussian/models/`).
+
+Covers the TGS-specific numerics: snowflake SPD_pp (+SkipTransformer,
+BatchNorm eval), LocalPoolPointnet scatter pooling, GSLayer heads +
+renderer MLP + triplane query, and the networks.MLP camera embedder.
+The shared substrates are parity-tested elsewhere (Transformer1D in
+test_parity_triposr, modulated DINOv2 in test_parity_sf3d).
+
+A full fabricated-layout bijection test asserts `convert_tgs` maps a
+complete reference-shaped state dict onto the exact init_random tree.
+"""
+
+import numpy as np
+import pytest
+
+import refutil
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from comfy3d_tpu.models.tgs.convert import (convert_tgs,  # noqa: E402
+                                            load_tgs_checkpoint,
+                                            tgs_rules)
+from comfy3d_tpu.models.tgs.model import (GSLayer, MLPNet,  # noqa: E402
+                                          LocalPoolPointnet, SPDpp,
+                                          TGSConfig,
+                                          points_projection)
+from comfy3d_tpu.models.tgs.pipeline import TGSPipeline  # noqa: E402
+from comfy3d_tpu.models import convert as C  # noqa: E402
+
+ATOL = 2e-4
+
+
+def _cvt(sd, prefix=""):
+    """Convert a prefixed torch state dict through the TGS rules."""
+    return convert_tgs({prefix + k: v.detach().numpy()
+                        for k, v in sd.items()})
+
+
+def _get(tree, path):
+    node = tree
+    for p in path.split("/"):
+        node = node[p]
+    return node
+
+
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def mods():
+    refutil.install_tgs()
+    return {
+        "networks": refutil.load("TriplaneGaussian.models.networks"),
+        "spd": refutil.load(
+            "TriplaneGaussian.models.snowflake.SPD_pp"),
+        "pointnet": refutil.load(
+            "TriplaneGaussian.models.pointclouds.pointnet"),
+        "renderer": refutil.load("TriplaneGaussian.models.renderer"),
+    }
+
+
+def test_camera_mlp_parity(mods):
+    torch.manual_seed(0)
+    mlp = mods["networks"].MLP(25, 48, 48, 1, activation="silu").eval()
+    x = torch.randn(2, 25)
+    ref = mlp(x).detach().numpy()
+
+    params = _cvt(mlp.state_dict(), "camera_embedder.")
+    ours = MLPNet(48, 48, 1).apply(
+        {"params": params["camera_embedder"]}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL)
+
+
+def test_spd_parity(mods):
+    """SPD_pp stage (kNN skip transformer + point splitting), eval-mode
+    BatchNorm with randomized running stats."""
+    torch.manual_seed(1)
+    f_cond, n, up = 24, 32, 2
+    spd = mods["spd"].SPD_pp(dim_feat=f_cond, up_factor=up, i=0,
+                             bounding=True, radius=1)
+    for m in spd.modules():             # non-trivial BN running stats
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    spd = spd.eval()
+
+    pcd = torch.randn(1, 3, n) * 0.4
+    cond = torch.randn(1, f_cond, n)
+    with torch.no_grad():
+        ref_pcd, ref_k = spd(pcd, cond, None)
+
+    params = _cvt(
+        spd.state_dict(),
+        "pointcloud_generator.pointcloud_upsampling.decoder.uppers.0.")
+    flax_spd = SPDpp(up_factor=up, stage=0, dim_feat=f_cond, n_knn=16)
+    out_pcd, out_k = flax_spd.apply(
+        {"params": _get(params, "pointcloud_generator/"
+                                "pointcloud_upsampling/uppers_0")},
+        jnp.asarray(pcd.numpy().transpose(0, 2, 1)),
+        jnp.asarray(cond.numpy().transpose(0, 2, 1)), None)
+    np.testing.assert_allclose(
+        np.asarray(out_pcd), ref_pcd.numpy().transpose(0, 2, 1),
+        atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(out_k), ref_k.numpy().transpose(0, 2, 1),
+        atol=5 * ATOL)
+
+
+def test_pointnet_parity(mods):
+    torch.manual_seed(2)
+    cfg = dict(input_channels=9, c_dim=20, hidden_dim=12,
+               plane_size=8, n_blocks=5, radius=0.6,
+               scatter_type="max")
+    pn = mods["pointnet"].LocalPoolPointnet(cfg).eval()
+    pts = torch.rand(2, 40, 3) * 1.1 - 0.55
+    feats = torch.randn(2, 40, 6)
+    inp = torch.cat([pts, feats], -1)
+    with torch.no_grad():
+        ref = pn(inp).numpy()                 # [B,3,C,P,P]
+
+    params = _cvt(pn.state_dict(), "point_encoder.")
+    tcfg = TGSConfig.tiny()
+    tcfg = type(tcfg)(**{**tcfg.__dict__, "plane_size": 8,
+                         "plane_channels": 20, "radius": 0.6})
+    ours = LocalPoolPointnet(tcfg, hidden=12, n_blocks=5).apply(
+        {"params": params["point_encoder"]}, jnp.asarray(inp.numpy()))
+    # ours [B,3,P,P,C] → torch layout
+    ours = np.transpose(np.asarray(ours), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_gslayer_and_mlp_parity(mods):
+    """renderer.forward_gs: MLP → GSLayer heads, reference activation
+    semantics (restrict_offset sigmoid step, trunc_exp clip, etc.)."""
+    torch.manual_seed(3)
+    rend = mods["renderer"]
+    gs_cfg = dict(in_channels=16, xyz_offset=True, restrict_offset=True,
+                  use_rgb=False, clip_scaling=0.2,
+                  feature_channels=dict(xyz=3, scaling=3, rotation=4,
+                                        opacity=1, shs=48))
+    gs = rend.GSLayer(gs_cfg)
+    # kernels are zero-init in the reference; randomize to exercise
+    for layer in gs.out_layers:
+        torch.nn.init.normal_(layer.weight, std=0.3)
+        torch.nn.init.normal_(layer.bias, std=0.2)
+    mlp = mods["networks"].MLP(29, 16, 16, 2, activation="silu").eval()
+
+    # the renderer applies GSLayer per batch on 2-D [Np, C] rows
+    # (forward_single_batch) — F.normalize(dim=1) is the last dim there
+    x = torch.randn(50, 29)
+    pts = torch.randn(50, 3) * 0.3
+    with torch.no_grad():
+        h = mlp(x)
+        ref = gs.forward(h, pts)
+
+    params = {}
+    params.update(_cvt(mlp.state_dict(), "renderer.mlp_net."))
+    params.update(_cvt(gs.state_dict(), "renderer.gs_net."))
+    cfg = TGSConfig.tiny()
+    h2 = MLPNet(16, 16, 2).apply({"params": params["mlp_net"]},
+                                 jnp.asarray(x.numpy()))
+    ours = GSLayer(cfg).apply({"params": params["gs_net"]}, h2,
+                              jnp.asarray(pts.numpy()))
+    np.testing.assert_allclose(np.asarray(ours["xyz"]),
+                               ref.xyz.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ours["scaling"]),
+                               ref.scaling.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ours["rotation"]),
+                               ref.rotation.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(ours["opacity"]),
+                               ref.opacity.numpy()[..., 0], atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(ours["shs"]).reshape(50, -1),
+        ref.shs.numpy().reshape(50, -1), atol=ATOL)
+
+
+def test_triplane_query_matches_torch_grid_sample(mods):
+    """renderer.query_triplane (grid_sample align_corners=False,
+    concat reduction) vs our grid_sample_2d sampling path."""
+    torch.manual_seed(4)
+    rend = mods["renderer"]
+
+    class AttrDict(dict):               # omegaconf DictConfig stand-in
+        __getattr__ = dict.__getitem__
+
+    r_cfg = AttrDict(sh_degree=3, radius=0.6,
+                 mlp_network_config=AttrDict(n_neurons=16,
+                                             n_hidden_layers=2,
+                                             activation="silu"),
+                 gs_out=AttrDict(in_channels=16, xyz_offset=True,
+                                 restrict_offset=True, use_rgb=False,
+                                 clip_scaling=0.2,
+                                 feature_channels=dict(
+                                     xyz=3, scaling=3, rotation=4,
+                                     opacity=1, shs=48)),
+                 projection_feature_dim=13)
+    renderer = rend.GS3DRenderer(r_cfg)
+    planes = torch.randn(1, 3, 5, 6, 6)      # [B,3,C,H,W]
+    pts = torch.rand(1, 30, 3) * 1.1 - 0.55
+    with torch.no_grad():
+        ref = renderer.query_triplane(pts, planes).numpy()
+
+    from comfy3d_tpu.models.triposr.model import grid_sample_2d
+    pl = jnp.asarray(planes.numpy().transpose(0, 1, 3, 4, 2))  # HWC
+    p = jnp.asarray(pts.numpy()) / 0.6
+
+    def sample_one(pl, pp):
+        f_xy = grid_sample_2d(pl[0], pp[:, (0, 1)])
+        f_xz = grid_sample_2d(pl[1], pp[:, (0, 2)])
+        f_yz = grid_sample_2d(pl[2], pp[:, (1, 2)])
+        return jnp.concatenate([f_xy, f_xz, f_yz], -1)
+
+    ours = np.asarray(jax.vmap(sample_one)(pl, p))
+    np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+
+def test_points_projection_zbuffer():
+    """Winner-take-nearest per pixel: occluded points get zeros, the
+    nearest point per pixel gets that pixel's feature (pytorch3d
+    PointsRasterizer contract at points_per_pixel=1)."""
+    h = w = 8
+    f = np.arange(h * w, dtype=np.float32).reshape(1, h, w, 1)
+    intr = np.array([[[8.0, 0, 4.0], [0, 8.0, 4.0], [0, 0, 1]]],
+                    np.float32)
+    c2w = np.eye(4, dtype=np.float32)[None]
+    # two points along the same ray: z=1 (near) and z=2 (far), plus an
+    # off-screen point
+    pts = np.array([[[0.0, 0.0, 1.0], [0.0, 0.0, 2.0],
+                     [10.0, 10.0, 1.0]]], np.float32)
+    out = np.asarray(points_projection(
+        jnp.asarray(pts), jnp.asarray(c2w), jnp.asarray(intr),
+        jnp.asarray(f)))
+    # center pixel (4,4) → feature 4*8+4 = 36 for the near point
+    assert out[0, 0, 0] == 36.0
+    assert out[0, 1, 0] == 0.0          # occluded
+    assert out[0, 2, 0] == 0.0          # off-screen
+
+
+# ------------------------------------------------------------------ #
+# full-layout bijection
+# ------------------------------------------------------------------ #
+def _tree_spec(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_spec(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = tuple(np.shape(v))
+    return out
+
+
+def _fabricate_state_dict(cfg: TGSConfig, mods):
+    """Every key the reference TGS state dict contains at `cfg` scale
+    (generator dinov2 backbone excluded — frozen non-module)."""
+    import torch.nn as nn
+    from transformers.models.dinov2.configuration_dinov2 import (
+        Dinov2Config as HFDinoCfg)
+    from transformers.models.dinov2.modeling_dinov2 import Dinov2Model
+
+    torch.manual_seed(7)
+    sd = {}
+    c = cfg.cond
+    dino = Dinov2Model(HFDinoCfg(
+        hidden_size=c.hidden, num_hidden_layers=c.layers,
+        num_attention_heads=c.heads, mlp_ratio=c.mlp_ratio,
+        patch_size=c.patch, image_size=c.pretrain_image_size,
+        layer_norm_eps=c.layer_norm_eps, use_swiglu_ffn=False))
+    for k, v in dino.state_dict().items():
+        sd[f"image_tokenizer.model.{k}"] = v
+    for i in range(c.layers):
+        for j, mod in ((2 * i, "norm1_modulation"),
+                       (2 * i + 1, "norm2_modulation")):
+            w = torch.randn(2 * c.hidden, cfg.cross_dim)
+            b = torch.randn(2 * c.hidden)
+            sd[f"image_tokenizer.model.encoder.layer.{i}.{mod}"
+               f".linear2.weight"] = w
+            sd[f"image_tokenizer.model.encoder.layer.{i}.{mod}"
+               f".linear2.bias"] = b
+            sd[f"image_tokenizer.modulations.{j}.linear2.weight"] = w
+            sd[f"image_tokenizer.modulations.{j}.linear2.bias"] = b
+            sd[f"pointcloud_generator.image_tokenizer.modulations"
+               f".{j}.linear2.weight"] = torch.randn_like(w)
+            sd[f"pointcloud_generator.image_tokenizer.modulations"
+               f".{j}.linear2.bias"] = torch.randn_like(b)
+
+    for pre in ("camera_embedder", "pointcloud_generator"
+                                   ".camera_embedder"):
+        mlp = mods["networks"].MLP(cfg.cam_dim, cfg.cross_dim,
+                                   cfg.cross_dim, 1, activation="silu")
+        for k, v in mlp.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    sd["tokenizer.embeddings"] = torch.randn(
+        3, cfg.plane_channels, cfg.plane_size, cfg.plane_size)
+    sd["pointcloud_generator.tokenizer.pcl_embeddings.weight"] = \
+        torch.randn(cfg.num_points, cfg.plane_channels)
+
+    inner = cfg.heads * cfg.head_dim
+    for bpre in ("backbone", "pointcloud_generator.backbone"):
+        sd[f"{bpre}.norm.weight"] = torch.randn(cfg.plane_channels)
+        sd[f"{bpre}.norm.bias"] = torch.randn(cfg.plane_channels)
+        sd[f"{bpre}.proj_in.weight"] = torch.randn(
+            inner, cfg.plane_channels)
+        sd[f"{bpre}.proj_in.bias"] = torch.randn(inner)
+        sd[f"{bpre}.proj_out.weight"] = torch.randn(
+            cfg.plane_channels, inner)
+        sd[f"{bpre}.proj_out.bias"] = torch.randn(cfg.plane_channels)
+        for i in range(cfg.backbone_layers):
+            bb = f"{bpre}.transformer_blocks.{i}"
+            for nrm in ("norm1", "norm2", "norm3"):
+                sd[f"{bb}.{nrm}.weight"] = torch.randn(inner)
+                sd[f"{bb}.{nrm}.bias"] = torch.randn(inner)
+            for attn, kv in (("attn1", inner), ("attn2",
+                                                cfg.cross_dim)):
+                sd[f"{bb}.{attn}.to_q.weight"] = torch.randn(inner,
+                                                             inner)
+                sd[f"{bb}.{attn}.to_k.weight"] = torch.randn(inner, kv)
+                sd[f"{bb}.{attn}.to_v.weight"] = torch.randn(inner, kv)
+                sd[f"{bb}.{attn}.to_out.0.weight"] = torch.randn(
+                    inner, inner)
+                sd[f"{bb}.{attn}.to_out.0.bias"] = torch.randn(inner)
+            sd[f"{bb}.ff.net.0.proj.weight"] = torch.randn(
+                8 * inner, inner)
+            sd[f"{bb}.ff.net.0.proj.bias"] = torch.randn(8 * inner)
+            sd[f"{bb}.ff.net.2.weight"] = torch.randn(inner, 4 * inner)
+            sd[f"{bb}.ff.net.2.bias"] = torch.randn(inner)
+
+    sd["post_processor.upsample.weight"] = torch.randn(
+        cfg.plane_channels, cfg.triplane_out, 2, 2)
+    sd["post_processor.upsample.bias"] = torch.randn(cfg.triplane_out)
+    sd["pointcloud_generator.post_processor.point_layer.weight"] = \
+        torch.randn(3, cfg.plane_channels)
+    sd["pointcloud_generator.post_processor.point_layer.bias"] = \
+        torch.randn(3)
+
+    from TriplaneGaussian.models.snowflake.model_spdpp import Decoder
+    snow = Decoder(input_channels=cfg.cross_dim,
+                   dim_feat=cfg.spd_feat, num_p0=cfg.num_points,
+                   radius=1, up_factors=list(cfg.up_factors),
+                   bounding=True, SPD_type="SPD_PP",
+                   token_type="image_token")
+    for k, v in snow.state_dict().items():
+        sd[f"pointcloud_generator.pointcloud_upsampling.decoder.{k}"] \
+            = v
+
+    pn = mods["pointnet"].LocalPoolPointnet(dict(
+        input_channels=3 + cfg.proj_dim, c_dim=cfg.plane_channels,
+        hidden_dim=128, plane_size=cfg.plane_size, n_blocks=5,
+        radius=cfg.radius))
+    for k, v in pn.state_dict().items():
+        sd[f"point_encoder.{k}"] = v
+
+    mlp = mods["networks"].MLP(cfg.mlp_in, cfg.gs_hidden,
+                               cfg.gs_hidden, 2, activation="silu")
+    for k, v in mlp.state_dict().items():
+        sd[f"renderer.mlp_net.{k}"] = v
+    gs = mods["renderer"].GSLayer(dict(
+        in_channels=cfg.gs_hidden, xyz_offset=True,
+        restrict_offset=True, use_rgb=False, clip_scaling=0.2,
+        feature_channels=dict(xyz=3, scaling=3, rotation=4, opacity=1,
+                              shs=3 * (cfg.sh_degree + 1) ** 2)))
+    for k, v in gs.state_dict().items():
+        sd[f"renderer.gs_net.{k}"] = v
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_full_bijection(mods, tmp_path):
+    """convert_tgs over a complete fabricated checkpoint reproduces
+    init_random's tree exactly (paths and shapes), with the frozen
+    generator backbone backfilled by load_tgs_checkpoint."""
+    cfg = TGSConfig.tiny()
+    sd = _fabricate_state_dict(cfg, mods)
+
+    unconverted = [k for k in sd
+                   if tgs_rules(k, np.asarray(sd[k])) is None]
+    assert unconverted == [], unconverted[:8]
+
+    import torch as _t
+    _t.save({k: _t.from_numpy(np.asarray(v)) for k, v in sd.items()},
+            tmp_path / "tgs.ckpt")
+    pipe = load_tgs_checkpoint(str(tmp_path / "tgs.ckpt"), cfg=cfg)
+
+    want = _tree_spec(
+        jax.tree.map(np.asarray,
+                     TGSPipeline.init_random(cfg=cfg).params))
+    got = _tree_spec(jax.tree.map(np.asarray, pipe.params))
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    assert missing == [], missing[:8]
+    assert extra == [], extra[:8]
+    mismatched = [k for k in want if want[k] != got[k]]
+    assert mismatched == [], [(k, want[k], got[k])
+                              for k in mismatched[:5]]
+
+    # and the loaded pipeline actually runs
+    img = np.random.RandomState(0).rand(
+        cfg.cond_size, cfg.cond_size, 3).astype(np.float32)
+    splat = pipe(img)
+    n = cfg.num_points * int(np.prod(cfg.up_factors))
+    assert splat.xyz.shape == (n, 3)
+    assert np.isfinite(np.asarray(splat.xyz)).all()
