@@ -6,15 +6,21 @@ diff-gaussian-rasterization path on A100 (ashawkey fork used at
 a typical optimized asset (~100k gaussians) at ≈120 FPS at 800²; that is
 the vs_baseline denominator.
 
-Also measured (stderr, human-readable): TripoSR 512² image → scene codes
-wall-clock, and the fwd+bwd 3DGS training-step time that bounds per-asset
-optimization throughput.
+Every bench runs in its OWN subprocess (``--only <name>`` re-exec): round
+4 lost two north-star metrics because the train-step bench's 100k-capacity
+state + compiled executables were still resident when later benches ran
+(RESOURCE_EXHAUSTED, BENCH_r04).  Process isolation makes each metric's
+memory budget its own.
+
+Set COMFY3D_TRACE=1 to capture a jax.profiler trace per bench under
+output/traces/ (comfy3d_tpu.profiling).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,15 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_comfy3d")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 BASELINE_FPS_800 = 120.0   # CUDA rasterizer on A100, ~100k gaussians @800²
+# TPU v5e (the bench device reports "TPU v5 lite"): 197 TFLOP/s bf16 peak.
+PEAK_FLOPS_BF16 = 197e12
+
+
+def _jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def log(msg):
@@ -38,6 +46,10 @@ def log(msg):
 
 
 def bench_gs_render(n_gauss=100_000, size=800, iters=20):
+    jax = _jax()
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
     from comfy3d_tpu.core.camera import Camera
     from comfy3d_tpu.core.gaussian import GaussianSplat
     from comfy3d_tpu.ops import gs_render
@@ -45,7 +57,6 @@ def bench_gs_render(n_gauss=100_000, size=800, iters=20):
     splat = GaussianSplat.random(jax.random.PRNGKey(0), n_gauss,
                                  sh_degree=0, radius=0.8)
     # realistic asset: small splats, moderate opacity
-    import dataclasses
     splat = dataclasses.replace(
         splat,
         scale_raw=jnp.full_like(splat.scale_raw, np.log(0.01)),
@@ -61,12 +72,16 @@ def bench_gs_render(n_gauss=100_000, size=800, iters=20):
         img = fn(splat)
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
     log(f"[bench] 3DGS fwd {n_gauss} gaussians @{size}²: "
-        f"{dt * 1000:.2f} ms = {1 / dt:.1f} FPS")
-    return 1.0 / dt
+        f"{dt * 1000:.2f} ms = {fps:.1f} FPS")
+    return {"value": round(fps, 2), "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_FPS_800, 4)}
 
 
 def bench_triposr_forward():
+    jax = _jax()
+    import numpy as np
     from comfy3d_tpu.models.triposr import TripoSRPipeline
 
     pipe = TripoSRPipeline.init_random()
@@ -78,13 +93,15 @@ def bench_triposr_forward():
         codes = pipe.scene_codes(img)
     jax.block_until_ready(codes)
     dt = (time.perf_counter() - t0) / 5
-    log(f"[bench] TripoSR 512² image → scene codes: {dt * 1000:.0f} ms")
-    return dt
+    log(f"[bench] TripoSR 512² image → scene codes (random-init weights): "
+        f"{dt * 1000:.0f} ms")
+    return {"value": round(dt * 1000, 1), "unit": "ms"}
 
 
-def bench_triposr_image_to_mesh():
+def bench_triposr_image_to_mesh(resolution=256):
     """North star: full TripoSR image → mesh wall-clock (BASELINE.json;
-    reference runs `TSR.forward` + PyMCubes `extract_mesh` at 256³).
+    reference runs `TSR.forward` + PyMCubes `extract_mesh` at 256³,
+    `TripoSR/models/isosurface.py`).
 
     Without downloaded weights the density field comes from a random
     init; a fixed threshold then lands outside the field's range and
@@ -92,7 +109,9 @@ def bench_triposr_image_to_mesh():
     iso threshold to the ~98th density percentile instead so the surface
     has realistic (~2%) occupancy and the tet sweep, compaction, and
     vertex/color queries all do production-shaped work."""
+    jax = _jax()
     import jax.numpy as jnp
+    import numpy as np
     from comfy3d_tpu.models.triposr import TripoSRPipeline
     from comfy3d_tpu.models.triposr.pipeline import TripoSR
 
@@ -105,24 +124,28 @@ def bench_triposr_image_to_mesh():
     sigma = pipe.model.apply({"params": pipe.params}, codes[0], probe,
                              method=TripoSR.query)[0]
     threshold = float(np.quantile(np.asarray(sigma), 0.98))
-    # warm the compile path once (192³: 256³ crashes the remote AOT
-    # compile helper on the tunnel; same asymptotics)
-    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=threshold,
-                             with_color=True)
+    # warm the compile path once
+    mesh = pipe.extract_mesh(codes[0], resolution=resolution,
+                             threshold=threshold, with_color=True)
     t0 = time.perf_counter()
     codes = pipe.scene_codes(img)
-    mesh = pipe.extract_mesh(codes[0], resolution=192, threshold=threshold,
-                             with_color=True)
+    mesh = pipe.extract_mesh(codes[0], resolution=resolution,
+                             threshold=threshold, with_color=True)
     dt = time.perf_counter() - t0
-    log(f"[bench] TripoSR image → mesh (192³ grid): {dt:.2f} s "
-        f"({mesh.num_vertices} verts)")
-    return dt
+    log(f"[bench] TripoSR image → mesh ({resolution}³ grid, random-init "
+        f"weights): {dt:.2f} s ({mesh.num_vertices} verts)")
+    return {"value": round(dt, 3), "unit": "s"}
 
 
 def bench_gs_train_step(n_gauss=100_000, size=800, n_views=4, iters=10):
     """fwd+bwd 3DGS train step — the reference's hot loop
-    (main_3DGS.py:142-232) runs 30k of these per asset at batch 1."""
+    (main_3DGS.py:142-232) runs 30k of these per asset at batch 1.
+    Also reports MFU from the compiled executable's XLA flop estimate
+    so perf is judged on utilization, not just step time."""
+    jax = _jax()
     import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
     from comfy3d_tpu.algorithms import gs_trainer as T
     from comfy3d_tpu.core.camera import Camera
     from comfy3d_tpu.core.gaussian import GaussianSplat
@@ -149,13 +172,27 @@ def bench_gs_train_step(n_gauss=100_000, size=800, n_views=4, iters=10):
         state, _ = step_fn(state, key)
     jax.block_until_ready(state.params["xyz"])
     dt = (time.perf_counter() - t0) / iters
+    mfu_note = ""
+    try:
+        cost = step_fn.lower(state, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / PEAK_FLOPS_BF16
+            mfu_note = f", {flops / 1e9:.1f} GFLOP = {100 * mfu:.2f}% MFU"
+    except Exception as e:   # cost analysis is backend-dependent
+        mfu_note = f" (cost analysis unavailable: {e})"
     log(f"[bench] 3DGS train step (fwd+bwd, {n_gauss} @{size}², batch 1): "
-        f"{dt * 1000:.2f} ms  ({30000 * dt / 60:.1f} min / 30k-iter fit)")
-    return dt
+        f"{dt * 1000:.2f} ms  ({30000 * dt / 60:.1f} min / 30k-iter fit"
+        f"{mfu_note})")
+    return {"value": round(dt * 1000, 2), "unit": "ms"}
 
 
 def bench_instantmesh_wallclock():
     """North star: InstantMesh 6-view → planes + mesh extraction."""
+    jax = _jax()
+    import numpy as np
     from comfy3d_tpu.models.instantmesh.pipeline import (
         InstantMeshPipeline, orbit_poses_to_input_cameras)
 
@@ -172,8 +209,9 @@ def bench_instantmesh_wallclock():
     planes = pipe.forward_planes(imgs, cams)
     mesh = pipe.extract_mesh(planes[0], resolution=96)
     dt = time.perf_counter() - t0
-    log(f"[bench] InstantMesh 6×320² → mesh (96³): {dt:.2f} s")
-    return dt
+    log(f"[bench] InstantMesh 6×320² → mesh (96³, random-init weights): "
+        f"{dt:.2f} s")
+    return {"value": round(dt, 3), "unit": "s"}
 
 
 def bench_render_parity_psnr(n_gauss=20_000, size=256):
@@ -182,7 +220,10 @@ def bench_render_parity_psnr(n_gauss=20_000, size=256):
     container — no GPU — so cross-stack PSNR vs diff-gaussian-
     rasterization is measured by the driver's judge instead; this guards
     the kernel against quality drift.)"""
+    jax = _jax()
     import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
     from comfy3d_tpu.core.camera import Camera
     from comfy3d_tpu.core.gaussian import GaussianSplat
     from comfy3d_tpu.ops import gs_render
@@ -198,27 +239,67 @@ def bench_render_parity_psnr(n_gauss=20_000, size=256):
     mse = float(((a - b) ** 2).mean())
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     log(f"[bench] 3DGS pallas-vs-xla parity: {psnr:.1f} dB PSNR")
-    return psnr
+    return {"value": round(psnr, 2), "unit": "dB"}
+
+
+BENCHES = {
+    "gs_render": bench_gs_render,
+    "gs_train_step": bench_gs_train_step,
+    "triposr_forward": bench_triposr_forward,
+    "triposr_image_to_mesh": bench_triposr_image_to_mesh,
+    "instantmesh_wallclock": bench_instantmesh_wallclock,
+    "render_parity_psnr": bench_render_parity_psnr,
+}
+
+
+def _run_one(name: str) -> int:
+    """Child-process entry: run one bench, print its result JSON line."""
+    jax = _jax()
+    log(f"[bench] device: {jax.devices()[0]}")
+    from comfy3d_tpu.profiling import maybe_trace
+    with maybe_trace(f"bench-{name}"):
+        res = BENCHES[name]()
+    print(json.dumps({"bench": name, **res}), flush=True)
+    return 0
 
 
 def main():
-    dev = jax.devices()[0]
-    log(f"[bench] device: {dev}")
-    fps = bench_gs_render()
-    for fn in (bench_gs_train_step, bench_triposr_forward,
-               bench_triposr_image_to_mesh, bench_instantmesh_wallclock,
-               bench_render_parity_psnr):
-        try:    # secondary metrics must not kill the headline
-            fn()
-        except Exception as e:
-            log(f"[bench] {fn.__name__} failed: {e}")
+    results = {}
+    for name in BENCHES:
+        cmd = [sys.executable, os.path.abspath(__file__), "--only", name]
+        try:
+            proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                  timeout=1800)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {name} failed: timeout (1800 s)")
+            continue
+        line = (proc.stdout or b"").decode().strip().splitlines()
+        if proc.returncode != 0 or not line:
+            log(f"[bench] {name} failed: exit {proc.returncode}")
+            continue
+        try:
+            results[name] = json.loads(line[-1])
+        except json.JSONDecodeError:
+            log(f"[bench] {name} failed: unparseable output {line[-1]!r}")
+    if "gs_render" not in results:
+        log("[bench] headline gs_render missing — emitting failure record")
+        print(json.dumps({"metric": "3dgs_render_fps_800px_100k",
+                          "value": 0.0, "unit": "fps", "vs_baseline": 0.0}))
+        return 1
+    head = results["gs_render"]
+    extras = {k: {"value": v["value"], "unit": v["unit"]}
+              for k, v in results.items() if k != "gs_render"}
     print(json.dumps({
         "metric": "3dgs_render_fps_800px_100k",
-        "value": round(fps, 2),
+        "value": head["value"],
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS_800, 4),
+        "vs_baseline": head["vs_baseline"],
+        "extras": extras,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--only":
+        sys.exit(_run_one(sys.argv[2]))
+    sys.exit(main())

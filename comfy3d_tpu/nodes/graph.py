@@ -50,6 +50,16 @@ def run_workflow(workflow: Dict | str, overrides: Optional[Dict] = None,
             workflow = json.load(fh)
     overrides = overrides or {}
 
+    from ..profiling import maybe_trace, trace_enabled
+    if trace_enabled():
+        with maybe_trace("workflow"):
+            return _run_workflow(workflow, overrides, verbose)
+    return _run_workflow(workflow, overrides, verbose)
+
+
+def _run_workflow(workflow: Dict, overrides: Dict,
+                  verbose: bool) -> Dict[int, Any]:
+
     nodes = {n["id"]: n for n in workflow["nodes"]
              if n.get("mode", 0) != 2}          # mode 2 = muted
     links = {}

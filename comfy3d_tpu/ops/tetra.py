@@ -78,78 +78,86 @@ def _build_case_table():
 _CASE_TABLE, _CASE_COUNTS = _build_case_table()
 
 
-def _tet_triangles(pos, val, inside):
-    """Vectorized per-tet triangle extraction.
+def _tet_triangles_t(posT, valT, insideT):
+    """Vectorized per-tet triangle extraction, N-minor layout.
 
-    pos: [N, 4, 3] tet corner positions; val: [N, 4] field values
-    (signed: >0 inside); inside: [N, 4] bool. Returns
-    (tris [N, 2, 3, 3], tri_valid [N, 2]). Orientation: normals point
+    posT: [4, 3, N] tet corner positions; valT: [4, N] field values
+    (signed: >0 inside); insideT: [4, N] bool. Returns
+    (trisT [2, 3, 3, N], tri_valid [2, N]). Orientation: normals point
     toward the *outside* (val<0) region.
+
+    Every array keeps N as the trailing (lane) dimension: TPU tiles the
+    two minormost dims to (8, 128), so an [N, 2, 3, 3] materialization
+    pads the 3×3 minor block 57-64× (27.6 GB copy observed at N=6M when
+    XLA's layout assignment picked it at 256³); with N minor the padding
+    is ~1.0×.
     """
-    case = (inside[:, 0].astype(jnp.int32)
-            + 2 * inside[:, 1] + 4 * inside[:, 2] + 8 * inside[:, 3])
-    table = jnp.asarray(_CASE_TABLE)          # [16, 2, 3]
+    case = (insideT[0].astype(jnp.int32)
+            + 2 * insideT[1] + 4 * insideT[2] + 8 * insideT[3])   # [N]
+    # table transposed so the gather lands N-minor: [2, 3, 16] → [2,3,N]
+    tableT = jnp.asarray(np.ascontiguousarray(
+        _CASE_TABLE.transpose(1, 2, 0)))
     counts = jnp.asarray(_CASE_COUNTS)        # [16]
-    edges = jnp.asarray(_TET_EDGES)           # [6, 2]
+    edges = _TET_EDGES                        # host constant [6, 2]
 
     # crossing point on every tet edge (mask invalid later)
-    va = val[:, edges[:, 0]]                  # [N, 6]
-    vb = val[:, edges[:, 1]]
+    va = valT[edges[:, 0]]                    # [6, N]
+    vb = valT[edges[:, 1]]
     denom = va - vb
     t = va / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     t = jnp.clip(t, 0.0, 1.0)
-    pa = pos[:, edges[:, 0]]                  # [N, 6, 3]
-    pb = pos[:, edges[:, 1]]
-    cross_pts = pa + t[..., None] * (pb - pa)
+    pa = posT[edges[:, 0]]                    # [6, 3, N]
+    pb = posT[edges[:, 1]]
+    cross_pts = pa + t[:, None, :] * (pb - pa)
 
-    tri_edges = table[case]                   # [N, 2, 3]
+    tri_edges = tableT[:, :, case]            # [2, 3, N]
     safe = jnp.maximum(tri_edges, 0)
-    # mask-accumulate selection over the 6 tet edges: a dynamic gather
-    # here forces a row-major layout whose (8,128) tile padding blows
-    # [N,2,6,3] up 57x on TPU (OOM at 384^3); the masked sum stays
-    # elementwise so XLA keeps N-minor layouts with ~1.0x padding
-    tris = jnp.zeros(case.shape + (2, 3, 3), pos.dtype)
+    # mask-accumulate selection over the 6 tet edges (elementwise; a
+    # dynamic gather here would force layout copies)
+    tris = jnp.zeros((2, 3, 3) + case.shape, posT.dtype)
     for e in range(6):
-        m = (safe == e).astype(pos.dtype)[..., None]     # [N, 2, 3, 1]
-        tris = tris + m * cross_pts[:, e][:, None, None, :]
-    ntri = counts[case]
-    tri_valid = jnp.stack([ntri >= 1, ntri >= 2], -1)
+        m = (safe == e).astype(posT.dtype)[:, :, None, :]  # [2, 3, 1, N]
+        tris = tris + m * cross_pts[e][None, None]         # ·[1,1,3,N]
+    ntri = counts[case]                       # [N]
+    tri_valid = jnp.stack([ntri >= 1, ntri >= 2], 0)       # [2, N]
 
     # outward orientation: flip if normal points toward the inside centroid
-    w_in = inside.astype(jnp.float32)
-    c_in = (pos * w_in[..., None]).sum(1) / jnp.maximum(
-        w_in.sum(1, keepdims=True), 1.0)      # [N, 3]
-    n = jnp.cross(tris[:, :, 1] - tris[:, :, 0],
-                  tris[:, :, 2] - tris[:, :, 0])   # [N, 2, 3]
-    to_in = c_in[:, None, :] - tris[:, :, 0]
-    flip = (n * to_in).sum(-1) > 0            # normal toward inside → flip
-    tris = jnp.where(flip[..., None, None],
-                     tris[:, :, ::-1, :], tris)
+    w_in = insideT.astype(jnp.float32)                     # [4, N]
+    c_in = (posT * w_in[:, None, :]).sum(0) / jnp.maximum(
+        w_in.sum(0, keepdims=True), 1.0)                   # [3, N]
+    e1 = tris[:, 1] - tris[:, 0]                           # [2, 3, N]
+    e2 = tris[:, 2] - tris[:, 0]
+    n = jnp.cross(e1, e2, axisa=1, axisb=1, axisc=1)       # [2, 3, N]
+    to_in = c_in[None] - tris[:, 0]
+    flip = (n * to_in).sum(1) > 0             # [2, N]; toward inside → flip
+    tris = jnp.where(flip[:, None, None, :], tris[:, ::-1], tris)
     return tris, tri_valid
 
 
-def _cells_to_tris(pos, vals, max_tris: int):
+def _cells_to_tris(posT, valT, max_tris: int):
     """Active cells → compacted triangle soup.
 
-    pos: [K, 8, 3] cell corner positions; vals: [K, 8] signed field
+    posT: [8, 3, K] cell corner positions; valT: [8, K] signed field
     (>0 inside). Returns (soup [max_tris, 3, 3], count, overflow) where
     count is the TRUE number of valid triangles (may exceed max_tris →
     overflow). One top_k over K*12 entries does the whole compaction —
     triangle order is irrelevant for a soup, so a full stable argsort
     (and the append-loop layout churn it forced) is unnecessary.
     """
-    tets = jnp.asarray(_TETS)
-    tp = pos[:, tets].reshape(-1, 4, 3)              # [K*6, 4, 3]
-    tv = vals[:, tets].reshape(-1, 4)
-    tris, valid = _tet_triangles(tp, tv, tv > 0)
-    flatv = valid.reshape(-1)
+    k_cells = valT.shape[1]
+    # gather tet corners on the leading (8-wide) axis: stays N-minor
+    tet_ids = _TETS.reshape(-1)                      # host constant [24]
+    tp = posT[tet_ids].reshape(6, 4, 3, k_cells)     # [6, 4, 3, K]
+    tv = valT[tet_ids].reshape(6, 4, k_cells)        # [6, 4, K]
+    tpT = jnp.moveaxis(tp, 0, -2).reshape(4, 3, 6 * k_cells)
+    tvT = jnp.moveaxis(tv, 0, -2).reshape(4, 6 * k_cells)
+    tris, valid = _tet_triangles_t(tpT, tvT, tvT > 0)
+    flatv = valid.reshape(-1)                        # [2·6K], slot-major
     count = flatv.sum(dtype=jnp.int32)
     k = min(max_tris, flatv.shape[0])
     _, order = jax.lax.top_k(flatv.astype(jnp.int32), k)
-    # gather in a [9, T] triangle-minor layout: gathering [T, 2, 3, 3]
-    # rows directly forces a copy whose (8,128) tile padding on the
-    # tiny minor dims inflates 57× (27.6 GB OOM at K=1M, measured)
-    t9 = tris.reshape(-1, 9).T                       # [9, K*12]
+    # [2,3,3,N] → [9, 2N] column order matching flatv's (slot, tet)
+    t9 = jnp.moveaxis(tris.reshape(2, 9, -1), 0, 1).reshape(9, -1)
     soup9 = jnp.take(t9, order, axis=1) \
         * flatv[order].astype(t9.dtype)[None, :]     # zero invalid
     soup = soup9.T.reshape(k, 3, 3)
@@ -204,16 +212,18 @@ def marching_tets_grid(grid: jnp.ndarray, iso: float = 0.0,
     _, cell_idx = jax.lax.top_k(crossing.astype(jnp.int32), cell_cap)
 
     # pass 2: gather corners of active cells, run the tet cases
+    # (built K-minor from the start — see _tet_triangles_t layout note)
     ci = cell_idx // (ncy * ncz)
     cj = (cell_idx // ncz) % ncy
     ck = cell_idx % ncz
-    vals = jnp.stack([field[ci + dx, cj + dy, ck + dz]
-                      for dx, dy, dz in _CORNERS], -1)      # [K, 8]
-    base = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)  # [K, 3]
-    corner_off = jnp.asarray(_CORNERS, jnp.float32)
-    pos = (base[:, None, :] + corner_off) * spacing + origin
+    valT = jnp.stack([field[ci + dx, cj + dy, ck + dz]
+                      for dx, dy, dz in _CORNERS], 0)       # [8, K]
+    baseT = jnp.stack([ci, cj, ck], 0).astype(jnp.float32)  # [3, K]
+    posT = jnp.stack(
+        [(baseT + jnp.asarray(c, jnp.float32)[:, None]) * spacing
+         + origin[:, None] for c in _CORNERS], 0)           # [8, 3, K]
 
-    soup, count, tri_ovf = _cells_to_tris(pos, vals, max_tris)
+    soup, count, tri_ovf = _cells_to_tris(posT, valT, max_tris)
     return soup, count, tri_ovf | (n_active > cell_cap)
 
 
@@ -287,12 +297,13 @@ def weld_device(soup, count, max_verts: int, decimals: int = 6):
     vid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
     nv = first.sum(dtype=jnp.int32)
 
-    # representative original point index per unique vertex; invalid
-    # tail entries (vid pinned at nv-1 by the cumsum) are routed
-    # out-of-bounds so mode="drop" discards them instead of
-    # clobbering the last real vertex
-    valid_sorted = qs[0] != big
-    widx = jnp.where(valid_sorted,
+    # representative original point index per unique vertex: the run
+    # START only — lexsort is stable, so the run's first entry carries
+    # the MINIMAL original soup index, matching host `weld`'s
+    # first-occurrence pick bitwise (duplicates from different tets can
+    # differ in the last ulp). Non-start entries are routed
+    # out-of-bounds so mode="drop" discards them.
+    widx = jnp.where(first,
                      jnp.minimum(vid_sorted, max_verts - 1), max_verts)
     vtab = jnp.zeros((max_verts,), jnp.int32)
     vtab = vtab.at[widx].set(order, mode="drop")
@@ -456,10 +467,10 @@ def marching_tets_deformed(v_def: jnp.ndarray, sdf: jnp.ndarray,
     cj = (cell_idx // nc) % nc
     ck = cell_idx % nc
     vids = jnp.stack([((ci + dx) * res + (cj + dy)) * res + (ck + dz)
-                      for dx, dy, dz in _CORNERS], -1)     # [K, 8]
-    pos = v_def[vids]                                      # [K, 8, 3]
-    vals = sdf[vids]
-    soup, count, tri_ovf = _cells_to_tris(pos, vals, max_tris)
+                      for dx, dy, dz in _CORNERS], 0)      # [8, K]
+    posT = v_def.T[:, vids].transpose(1, 0, 2)             # [8, 3, K]
+    valT = sdf[vids]                                       # [8, K]
+    soup, count, tri_ovf = _cells_to_tris(posT, valT, max_tris)
     return soup, count, tri_ovf | (n_active > cell_cap)
 
 
@@ -476,11 +487,19 @@ def marching_tets_diff(verts: jnp.ndarray, sdf: jnp.ndarray,
     pattern (topology) is stop-gradient. This is the geometry engine the
     FlexiCubes-role fitter (`algorithms.flexicubes_fit`) optimizes through.
     """
-    tv = sdf[tets]                       # [T, 4]
-    tp = verts[tets]                     # [T, 4, 3]
-    inside = jax.lax.stop_gradient(tv) > 0
-    tris, valid = _tet_triangles(tp, tv, inside)
-    return tris.reshape(-1, 3, 3), valid.reshape(-1)
+    tris, valid = _marching_tets_diff_t(verts, sdf, tets)
+    # transpose back to the row-major public contract; order (t, slot)
+    return jnp.moveaxis(tris, -1, 0).reshape(-1, 3, 3), \
+        valid.T.reshape(-1)
+
+
+def _marching_tets_diff_t(verts, sdf, tets):
+    """Transposed core of `marching_tets_diff`: returns
+    (trisT [2, 3, 3, T], valid [2, T]) keeping T lane-minor."""
+    tvT = sdf[tets.T]                    # [4, T]
+    tpT = verts.T[:, tets.T].transpose(1, 0, 2)   # [4, 3, T]
+    inside = jax.lax.stop_gradient(tvT) > 0
+    return _tet_triangles_t(tpT, tvT, inside)
 
 
 def grid_tets(res: int):
@@ -512,8 +531,9 @@ def _compact_step(out, count, verts, sdf, tets, cap: int):
     sweep on device — the naive per-chunk host transfer + boolean
     filter dominated InstantMesh mesh extraction wall-clock (the
     device→host tunnel moves ~150 MB per dense chunk)."""
-    tris, valid = marching_tets_diff(verts, sdf, tets)
-    t9 = tris.reshape(-1, 9).T
+    tris, valid2 = _marching_tets_diff_t(verts, sdf, tets)
+    t9 = jnp.moveaxis(tris.reshape(2, 9, -1), 0, 1).reshape(9, -1)
+    valid = valid2.reshape(-1)
     order = jnp.argsort(jnp.where(valid, jnp.uint32(0), jnp.uint32(1)),
                         stable=True)
     block = t9[:, order[:cap]]
