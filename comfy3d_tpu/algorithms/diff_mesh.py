@@ -40,6 +40,12 @@ class DiffMeshConfig:
     texture_size: int = 512
     ssaa: int = 1
     method: str = "binned"
+    # periodic remesh (reference `diff_mesh.py:129-141`: every
+    # `remesh_after_n_iteration` steps, clean_mesh(remesh=True,
+    # remesh_size=0.01) then decimate if above target). 0 disables.
+    remesh_every: int = 0
+    remesh_size: float = 0.01        # target edge len, frac of bbox diag
+    decimate_target: int = 50000
 
 
 def build_adjacency(faces: np.ndarray, num_verts: int, max_degree: int = 16):
@@ -97,6 +103,45 @@ def build_face_adjacency(faces: np.ndarray) -> np.ndarray:
             else np.zeros((0, 2), np.int32))
 
 
+def _nearest_rows(src_pts: np.ndarray, dst_pts: np.ndarray) -> np.ndarray:
+    """Index into src_pts of the nearest point for each dst point
+    (host-side, chunked brute force — meshes here are ≤~200k verts)."""
+    out = np.empty(len(dst_pts), np.int64)
+    chunk = 4096
+    for i in range(0, len(dst_pts), chunk):
+        d = ((dst_pts[i:i + chunk, None, :] - src_pts[None]) ** 2).sum(-1)
+        out[i:i + chunk] = d.argmin(1)
+    return out
+
+
+def _periodic_remesh(mesh, cfg: DiffMeshConfig):
+    """Host-side remesh between fit segments: weld/clean → isotropic
+    remesh at `remesh_size`·diag → decimate above `decimate_target`
+    (reference `diff_mesh.py:133-141`). Per-vertex colors transfer by
+    nearest neighbor; UVs are re-unwrapped (topology changed)."""
+    from .. import native
+    from ..core.mesh import Mesh
+
+    v = np.asarray(mesh.v, np.float32)
+    f = np.asarray(mesh.f, np.int32)
+    diag = float(np.linalg.norm(v.max(0) - v.min(0)))
+    cv, cf = native.clean_mesh(v, f, weld_eps=diag * 1e-4)
+    rv, rf = native.isotropic_remesh(cv, cf, target_frac=cfg.remesh_size,
+                                     iterations=3)
+    if len(rf) == 0:
+        rv, rf = cv, cf
+    if len(rf) > cfg.decimate_target:
+        rv, rf = native.decimate_mesh(rv, rf, cfg.decimate_target)
+    out = Mesh(v=rv, f=rf, albedo=mesh.albedo,
+               metallic_roughness=mesh.metallic_roughness)
+    if mesh.vc is not None and len(v):
+        out.vc = np.asarray(mesh.vc)[_nearest_rows(v, rv)]
+    if mesh.vt is not None and mesh.ft is not None:
+        from ..ops import texture as texture_ops
+        out.vt, out.ft = texture_ops.auto_unwrap(rv, rf)
+    return out.auto_normal()
+
+
 def fit(mesh, cameras: Camera, images, masks,
         cfg: DiffMeshConfig = DiffMeshConfig(), seed: int = 0,
         progress: Optional[Callable] = None):
@@ -105,7 +150,29 @@ def fit(mesh, cameras: Camera, images, masks,
     mesh: core.Mesh (host). Returns a new Mesh with fitted geometry and,
     if UVs exist, a fitted albedo. Counterpart of the reference
     Fitting_Mesh_With_Multiview_Images node path (`nodes.py:1315`).
+    With `cfg.remesh_every > 0` and vertex training enabled, the fit
+    runs in segments with a host-side isotropic remesh between them
+    (reference `diff_mesh.py:129-141`); each segment re-jits against
+    the new (fixed) topology.
     """
+    remesh_on = cfg.remesh_every > 0 and cfg.lr_verts > 0
+    remaining = cfg.iterations
+    it_base = 0
+    while True:
+        seg = (remaining if not remesh_on
+               else min(cfg.remesh_every, remaining))
+        mesh = _fit_segment(mesh, cameras, images, masks, cfg, seg,
+                            seed + it_base, it_base, progress)
+        remaining -= seg
+        it_base += seg
+        if remaining <= 0:
+            return mesh
+        mesh = _periodic_remesh(mesh, cfg)
+
+
+def _fit_segment(mesh, cameras: Camera, images, masks,
+                 cfg: DiffMeshConfig, iterations: int, seed: int,
+                 it_base: int, progress: Optional[Callable]):
     import optax
 
     from ..core.mesh import Mesh
@@ -181,11 +248,11 @@ def fit(mesh, cameras: Camera, images, masks,
         return params, opt_state, loss
 
     key = jax.random.PRNGKey(seed)
-    for it in range(cfg.iterations):
+    for it in range(iterations):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, k)
         if progress is not None and it % 50 == 0:
-            progress(it, {"loss": float(loss)})
+            progress(it_base + it, {"loss": float(loss)})
 
     v_out = np.asarray(v0 + params["offsets"])
     out_mesh = dataclasses.replace(

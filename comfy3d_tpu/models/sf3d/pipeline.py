@@ -219,9 +219,11 @@ class SF3DPipeline:
     def generate_mesh(self, planes, resolution: Optional[int] = None,
                       threshold: Optional[float] = None,
                       texture_size: int = 1024, bake_texture: bool = True,
-                      chunk: int = 262144):
-        """density grid → marching tets → vertex offset → box unwrap →
-        albedo bake (system.py:272-420)."""
+                      chunk: int = 262144, remesh: str = "none"):
+        """density grid → marching tets → [isotropic remesh] → vertex
+        offset → box unwrap → albedo bake (system.py:272-420; remesh
+        `sf3d/models/mesh.py:170` triangle_remesh = gpytoolbox
+        remesh_botsch at the mean edge length, before UV unwrap)."""
         c = self.cfg
         res = resolution or c.isosurface_resolution
         iso = (threshold if threshold is not None
@@ -243,6 +245,15 @@ class SF3DPipeline:
             grid, iso=iso, bounds=(-c.radius, c.radius))
         if not mesh.num_vertices:
             return mesh
+        if remesh and remesh.lower() == "triangle":
+            from ... import native
+            ev = np.asarray(mesh.v)
+            ef = np.asarray(mesh.f)
+            edge = np.linalg.norm(ev[ef[:, 1]] - ev[ef[:, 0]], axis=1)
+            rv, rf = native.isotropic_remesh(
+                ev, ef, target_len=float(edge.mean()), iterations=10)
+            if len(rf):
+                mesh.v, mesh.f = rv, rf
         out = query(jnp.asarray(mesh.v, jnp.float32),
                     ("vertex_offset", "features"))
         mesh.v = np.asarray(mesh.v) + np.asarray(out["vertex_offset"]) \

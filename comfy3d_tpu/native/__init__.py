@@ -23,7 +23,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "mesh_ops.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
                            check=True, capture_output=True)
@@ -56,6 +59,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.isotropic_remesh.restype = ctypes.c_int
+    lib.isotropic_remesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -188,3 +199,64 @@ def decimate_mesh(verts: np.ndarray, faces: np.ndarray, target_faces: int):
     fs = np.sort(f, axis=1)
     _, first = np.unique(fs, axis=0, return_index=True)
     return v, f[np.sort(first)].astype(np.int32)
+
+
+def isotropic_remesh(verts: np.ndarray, faces: np.ndarray,
+                     target_len: float | None = None,
+                     target_frac: float = 0.01, iterations: int = 3):
+    """Botsch–Kobbelt isotropic explicit remeshing.
+
+    Counterpart of pymeshlab `meshing_isotropic_explicit_remeshing`
+    (reference `mesh_processer/mesh_utils.py:272`, targetlen = 1% of the
+    bbox diagonal) and gpytoolbox `remesh_botsch` (StableFast3D
+    `sf3d/models/mesh.py:170`). `target_len` is the absolute target edge
+    length; when None it is `target_frac` of the bbox diagonal (the
+    pymeshlab PercentageValue convention). Returns (verts, faces).
+    """
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    if len(faces) == 0 or len(verts) == 0:
+        return verts.copy(), faces.copy()
+    if target_len is None:
+        diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+        target_len = max(target_frac * diag, 1e-8)
+    lib = _load()
+    if lib:
+        # capacity estimate: equilateral tiling of the current surface
+        # area at the target edge length, with headroom for transients
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        area = float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum())
+        tri_area = (3 ** 0.5 / 4) * target_len ** 2
+        est_f = int(area / max(tri_area, 1e-12) * 2.0) + len(faces) * 4 + 64
+        max_f = int(min(max(est_f, 1024), 8_000_000))
+        max_v = max_f  # V ≈ F/2 for closed meshes; generous
+        ov = np.empty((max_v, 3), np.float32)
+        of = np.empty((max_f, 3), np.int32)
+        nv = ctypes.c_int32(0)
+        nf = ctypes.c_int32(0)
+        rc = lib.isotropic_remesh(
+            _fptr(verts), len(verts), _iptr(faces), len(faces),
+            float(target_len), int(iterations), _fptr(ov), _iptr(of),
+            ctypes.byref(nv), ctypes.byref(nf), max_v, max_f)
+        if rc:
+            print("[native] isotropic_remesh: capacity hit, result "
+                  "truncated (raise target_len)")
+        return ov[:nv.value].copy(), of[:nf.value].copy()
+    # numpy fallback: one midpoint-subdivision pass on long edges (no
+    # neighbor-consistent patterns → handled by welding the midpoints),
+    # then a weld at 0.8·target to merge short edges
+    v, f = verts, faces
+    el = np.linalg.norm(v[f[:, 1]] - v[f[:, 0]], axis=1)
+    long_f = el > target_len * 4 / 3
+    if long_f.any():
+        lf = f[long_f]
+        mids = (v[lf[:, 0]] + v[lf[:, 1]]) / 2
+        base = len(v)
+        midx = np.arange(base, base + len(lf), dtype=np.int32)
+        v = np.concatenate([v, mids.astype(np.float32)])
+        f = np.concatenate([
+            f[~long_f],
+            np.stack([lf[:, 0], midx, lf[:, 2]], 1),
+            np.stack([midx, lf[:, 1], lf[:, 2]], 1)]).astype(np.int32)
+    return clean_mesh(v, f, weld_eps=target_len * 0.8)

@@ -398,7 +398,7 @@ class StableFast3D:
             "reference_mask": ("MASK",),
             "texture_resolution": ("INT", {"default": 1024, "min": 128,
                                            "max": 8192}),
-            "remesh_option": (["None", "Triangle", "Quad"],),
+            "remesh_option": (["None", "Triangle"],),
         }}
 
     RETURN_TYPES = ("MESH",)
@@ -415,7 +415,8 @@ class StableFast3D:
             jnp.asarray(reference_image), jnp.asarray(reference_mask),
             (0.5, 0.5, 0.5)))[0]
         mesh = sf3d_model.run_image(
-            img, texture_size=int(texture_resolution))
+            img, texture_size=int(texture_resolution),
+            remesh=remesh_option.lower())
         return (mesh,)
 
 

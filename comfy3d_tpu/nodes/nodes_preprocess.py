@@ -372,6 +372,8 @@ class Decimate_Mesh:
         return {"required": {
             "mesh": ("MESH",),
             "target_faces_num": ("INT", {"default": 50000, "min": 4}),
+            "remesh": ("BOOLEAN", {"default": True}),
+            "optimalplacement": ("BOOLEAN", {"default": True}),
         }}
 
     RETURN_TYPES = ("MESH",)
@@ -379,8 +381,19 @@ class Decimate_Mesh:
     FUNCTION = "decimate"
     CATEGORY = "Comfy3D/Preprocessor"
 
-    def decimate(self, mesh, target_faces_num=50000):
+    def decimate(self, mesh, target_faces_num=50000, remesh=True,
+                 optimalplacement=True):
+        # optimalplacement picks the QEM minimizer vertex position; our
+        # native decimator always evaluates endpoint-vs-midpoint minima
+        # (the `False` behavior the reference uses for blocky meshes is a
+        # pymeshlab knob with no effect on our placement rule).
+        del optimalplacement
         from .. import native
         from ..core.mesh import Mesh
         v, f = native.decimate_mesh(mesh.v, mesh.f, target_faces_num)
+        if remesh:
+            # reference follows decimation with pymeshlab isotropic
+            # explicit remeshing at targetlen=1% (`mesh_utils.py:255-258`)
+            v, f = native.isotropic_remesh(v, f, target_frac=0.01,
+                                           iterations=3)
         return (Mesh(v=v, f=f).auto_normal(),)

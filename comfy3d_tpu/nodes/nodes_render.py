@@ -422,6 +422,9 @@ class Fitting_Mesh_With_Multiview_Images:
             "batch_size": ("INT", {"default": 3, "min": 1}),
             "texture_learning_rate": ("FLOAT", {"default": 0.1}),
             "train_mesh_geometry": ("BOOLEAN", {"default": True}),
+            "remesh_after_n_iteration": ("INT", {"default": 512,
+                                                 "min": 128,
+                                                 "max": 100000}),
             "texture_resolution": ("INT", {"default": 512}),
         }}
 
@@ -434,7 +437,8 @@ class Fitting_Mesh_With_Multiview_Images:
                  reference_orbit_camera_poses,
                  reference_orbit_camera_fovy, training_iterations=1024,
                  batch_size=3, texture_learning_rate=0.1,
-                 train_mesh_geometry=True, texture_resolution=512):
+                 train_mesh_geometry=True, remesh_after_n_iteration=512,
+                 texture_resolution=512):
         from ..algorithms import diff_mesh
         from ..ops import texture as texture_ops
 
@@ -458,6 +462,8 @@ class Fitting_Mesh_With_Multiview_Images:
             iterations=training_iterations, batch_size=batch_size,
             lr_texture=texture_learning_rate,
             lr_verts=1e-3 if train_mesh_geometry else 0.0,
+            remesh_every=(remesh_after_n_iteration
+                          if train_mesh_geometry else 0),
             texture_size=texture_resolution)
         return (diff_mesh.fit(mesh, cams, imgs, masks, cfg),)
 

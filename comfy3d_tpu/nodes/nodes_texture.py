@@ -146,6 +146,17 @@ class Hunyuan3D_21_TexGen:
                  use_remesh=False):
         from ..models.hunyuan3d import Hunyuan3DPaintPipeline
 
+        if use_remesh:
+            # reference hy3dpaint `remesh_mesh`
+            # (`utils/simplify_mesh_utils.py:19-32`): QEM simplification
+            # to 40k faces before UV wrap + texturing
+            import dataclasses as _dc
+            from .. import native
+            v, f = native.decimate_mesh(np.asarray(mesh.v),
+                                        np.asarray(mesh.f), 40000)
+            mesh = _dc.replace(mesh, v=v, f=f, vn=None, fn=None, vt=None,
+                               ft=None, vc=None, albedo=None).auto_normal()
+
         img = np.asarray(image, np.float32)
         if img.ndim == 4:
             img = img[0]
