@@ -1,5 +1,9 @@
-from .pipeline import (CharacterGen2DConfig, CharacterGen2DPipeline,
-                       CharacterGenLRMConfig, CharacterGenLRMPipeline)
+from .lrm import (CGLRMConfig, CharacterGenLRM,
+                  CharacterGenLRMPipeline)
+from .pipeline import CharacterGen2DConfig, CharacterGen2DPipeline
+
+CharacterGenLRMConfig = CGLRMConfig
 
 __all__ = ["CharacterGen2DConfig", "CharacterGen2DPipeline",
-           "CharacterGenLRMConfig", "CharacterGenLRMPipeline"]
+           "CGLRMConfig", "CharacterGenLRM", "CharacterGenLRMConfig",
+           "CharacterGenLRMPipeline"]

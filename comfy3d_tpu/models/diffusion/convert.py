@@ -74,6 +74,16 @@ _TBLOCK_SUB = {
     "attn_mv.to_k": ("attn_mv/to_k", _linear),
     "attn_mv.to_v": ("attn_mv/to_v", _linear),
     "attn_mv.to_out.0": ("attn_mv/to_out_0", _linear),
+    # Hunyuan paint 2p5D block extras
+    # (hunyuanpaint/unet/modules.py:46-79)
+    "attn_multiview.to_q": ("attn_multiview/to_q", _linear),
+    "attn_multiview.to_k": ("attn_multiview/to_k", _linear),
+    "attn_multiview.to_v": ("attn_multiview/to_v", _linear),
+    "attn_multiview.to_out.0": ("attn_multiview/to_out_0", _linear),
+    "attn_refview.to_q": ("attn_refview/to_q", _linear),
+    "attn_refview.to_k": ("attn_refview/to_k", _linear),
+    "attn_refview.to_v": ("attn_refview/to_v", _linear),
+    "attn_refview.to_out.0": ("attn_refview/to_out_0", _linear),
 }
 
 

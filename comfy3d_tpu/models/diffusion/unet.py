@@ -58,6 +58,37 @@ class UNetConfig:
     # (LGM/mvdream/mv_unet.py:160-246)
     ip_dim: int = 0
     ip_weight: float = 1.0
+    # Hunyuan paint 2p5D blocks (Hunyuan3D_V2 hy3dgen/texgen/
+    # hunyuanpaint/unet/modules.py:46-246, shared by Hunyuan3D 2.1
+    # hunyuanpaintpbr): attn1 stays PER-VIEW; a separate attn_refview
+    # cross-attends to reference-pass norm1 tokens (mode 'r'/'w') and a
+    # separate attn_multiview self-attends over all views' tokens
+    # folded together. mv_views gives attn_multiview's fold width.
+    use_ma: bool = False
+    use_ra: bool = False
+    mva_scale: float = 1.0
+    ref_scale: float = 1.0
+    # SDXL extensions (UNet2DConditionModel config):
+    # per-cross-attn-block transformer depth (scalar or per-block
+    # tuple; the mid block uses the last entry)
+    transformer_depth: Tuple[int, ...] | int = 1
+    # "text_time": add_embedding over [pooled text emb, fourier
+    # time_ids] (SDXL added_cond_kwargs)
+    addition_embed_type: str = ""
+    addition_time_embed_dim: int = 256
+    # MV-Adapter decoupled attention (MV_Adapter/mvadapter/models/
+    # attention_processor.py:380 DecoupledMVRowColSelfAttnProcessor2_0):
+    # every self-attn gains separate q/k/v/out "mv" (row+col attention
+    # across views) and optionally "ref" (cross-attn to cached ref
+    # norm1 tokens) branches, added residually with mv/ref scales
+    mv_decoupled: bool = False
+    mv_use_ref: bool = True
+
+    def depth_of(self, block_index: int) -> int:
+        d = self.transformer_depth
+        if isinstance(d, (tuple, list)):
+            return d[block_index] if block_index < len(d) else d[-1]
+        return d
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -66,6 +97,18 @@ class UNetConfig:
     @classmethod
     def sd21(cls) -> "UNetConfig":
         return cls(cross_attention_dim=1024, attention_head_dim=64)
+
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        return cls(block_out_channels=(320, 640, 1280),
+                   cross_attention_dim=2048, attention_head_dim=64,
+                   down_block_types=("DownBlock2D",
+                                     "CrossAttnDownBlock2D",
+                                     "CrossAttnDownBlock2D"),
+                   up_block_types=("CrossAttnUpBlock2D",
+                                   "CrossAttnUpBlock2D", "UpBlock2D"),
+                   transformer_depth=(1, 2, 10),
+                   addition_embed_type="text_time")
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
@@ -145,6 +188,74 @@ class CrossAttention(nn.Module):
         return nn.Dense(self.query_dim, name="to_out_0")(out)
 
 
+class DecoupledRowColAttention(nn.Module):
+    """MV-Adapter's decoupled multi-view attention
+    (attention_processor.py:380-745, DecoupledMVRowColSelfAttnProcessor):
+    separate q/k/v/out projections; with 6 views, row-wise attention
+    over views [0,1,2,3] (tokens of one image ROW across those views)
+    plus column-wise attention over views [0-flipped,2,4,5], averaged
+    where a view appears in both. For other view counts, row attention
+    over all views (the DecoupledMVRowSelfAttnProcessor variant)."""
+    query_dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, h, spatial_h: int, views: int):
+        inner = self.heads * self.dim_head
+        b, t, _ = h.shape
+        B = b // views
+        ih = spatial_h
+        iw = t // ih
+        q = nn.Dense(inner, use_bias=False, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(h)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(h)
+
+        def grid(x):
+            return x.reshape(B, views, ih, iw, self.heads,
+                             self.dim_head)
+
+        qg, kg, vg = grid(q), grid(k), grid(v)
+
+        def attend_rows(qr, kr, vr):
+            # [B, nv, ih, iw, H, D] → attention over (nv·iw) per row
+            nv = qr.shape[1]
+
+            def fold(x):
+                return x.transpose(0, 2, 1, 3, 4, 5).reshape(
+                    B * ih, nv * iw, self.heads, self.dim_head)
+
+            out = jax.nn.dot_product_attention(fold(qr), fold(kr),
+                                               fold(vr))
+            return out.reshape(B, ih, nv, iw, inner).transpose(
+                0, 2, 1, 3, 4)                      # [B, nv, ih, iw, C]
+
+        if views == 6:
+            # row pass: views 0..3 (front/right/back/left)
+            row = attend_rows(qg[:, :4], kg[:, :4], vg[:, :4])
+            # col pass: views [0 flipped, 2, 4, 5]; columns attend, so
+            # transpose the grid (ih↔iw) and reuse the row kernel
+            def colsel(x):
+                sel = jnp.concatenate(
+                    [x[:, 0:1, :, ::-1], x[:, 2:3], x[:, 4:6]], axis=1)
+                return sel.transpose(0, 1, 3, 2, 4, 5)
+            col = attend_rows(colsel(qg), colsel(kg), colsel(vg))
+            col = col.transpose(0, 1, 3, 2, 4)      # back to [ih, iw]
+            col0 = col[:, 0, :, ::-1]               # flip view 0 back
+            out = jnp.stack([
+                (row[:, 0] + col0) / 2.0,
+                row[:, 1],
+                (row[:, 2] + col[:, 1]) / 2.0,
+                row[:, 3],
+                col[:, 2],
+                col[:, 3],
+            ], axis=1)
+        else:
+            out = attend_rows(qg, kg, vg)
+        out = out.reshape(b, t, inner)
+        return nn.Dense(self.query_dim, name="to_out_0")(out)
+
+
 class TransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -156,6 +267,10 @@ class TransformerBlock(nn.Module):
     spatial_h: int = 0            # token-grid height (rowwise only)
     ip_dim: int = 0               # ImageDream IP tokens in attn2
     ip_weight: float = 1.0
+    use_ma: bool = False          # Hunyuan paint attn_multiview
+    use_ra: bool = False          # Hunyuan paint attn_refview
+    mva_scale: float = 1.0
+    ref_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -166,7 +281,29 @@ class TransformerBlock(nn.Module):
         extra = ref_hidden if ref_mode == "read" else None
         attn1 = CrossAttention(self.dim, self.heads, self.dim_head,
                                name="attn1")
-        if self.mv_rowwise:
+        if self.use_ma or self.use_ra:
+            # Hunyuan 2p5D block (hunyuanpaint/unet/modules.py:104-246):
+            # per-view self-attn, then refview / multiview attentions —
+            # each reading the SAME norm1 output and adding residually
+            x = x + attn1(h)
+            if self.use_ra:
+                ref = extra if extra is not None else h
+                if ref.shape[0] != h.shape[0]:
+                    # one reference row conditions all of its gen views
+                    ref = jnp.repeat(ref, h.shape[0] // ref.shape[0],
+                                     axis=0)
+                out = CrossAttention(self.dim, self.heads, self.dim_head,
+                                     name="attn_refview")(h, context=ref)
+                x = x + (self.ref_scale if extra is not None else 0.0) \
+                    * out
+            if self.use_ma:
+                b, t, c0 = h.shape
+                v = self.mv_views
+                hm = h.reshape(b // v, v * t, c0)
+                out = CrossAttention(self.dim, self.heads, self.dim_head,
+                                     name="attn_multiview")(hm)
+                x = x + self.mva_scale * out.reshape(b, t, c0)
+        elif self.mv_rowwise:
             # Era3D self_rowwise block (transformer_mv2d_self_rowwise.py
             # :432-605): attn1 is per-frame cross-domain joint
             # self-attention (JointAttnProcessor: kv = both domains'
@@ -239,6 +376,10 @@ class SpatialTransformer(nn.Module):
     mv_rowwise: bool = False
     ip_dim: int = 0
     ip_weight: float = 1.0
+    use_ma: bool = False
+    use_ra: bool = False
+    mva_scale: float = 1.0
+    ref_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -247,8 +388,10 @@ class SpatialTransformer(nn.Module):
         hid = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name="norm")(x)
         hid = hid.reshape(b, h * w, c)
         hid = nn.Dense(self.channels, name="proj_in")(hid)
-        v = 1 if self.mv_rowwise else self.mv_views
-        # rowwise restructures inside attn1 — no token fold here
+        # rowwise / hunyuan-2p5D restructure inside the block — no
+        # token fold here
+        v = (1 if self.mv_rowwise or self.use_ma or self.use_ra
+             else self.mv_views)
         if v > 1:
             hid = hid.reshape(b // v, v * h * w, self.channels)
             context = context.reshape(b // v, v, *context.shape[1:])[:, 0]
@@ -261,6 +404,8 @@ class SpatialTransformer(nn.Module):
                 mv_views=max(self.mv_views, 1),
                 mv_rowwise=self.mv_rowwise,
                 ip_dim=self.ip_dim, ip_weight=self.ip_weight,
+                use_ma=self.use_ma, use_ra=self.use_ra,
+                mva_scale=self.mva_scale, ref_scale=self.ref_scale,
                 spatial_h=h, name=f"blocks_{i}")(
                 hid, context, ref_mode=ref_mode, ref_hidden=rh)
             written.append(wr)
@@ -370,6 +515,8 @@ class UNet2DCondition(nn.Module):
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
                         cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                        use_ma=c.use_ma, use_ra=c.use_ra,
+                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
                         ip_dim=c.ip_dim, ip_weight=c.ip_weight,
                         name=f"down_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
@@ -391,6 +538,8 @@ class UNet2DCondition(nn.Module):
             mid_ch, heads, dim_head, c.cross_attention_dim,
             norm_groups=c.norm_groups, mv_views=c.mv_views,
             cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                        use_ma=c.use_ma, use_ra=c.use_ra,
+                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
             ip_dim=c.ip_dim, ip_weight=c.ip_weight,
             name="mid_attn")(
             h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
@@ -427,6 +576,8 @@ class UNet2DCondition(nn.Module):
                         out_ch, heads, dim_head, c.cross_attention_dim,
                         norm_groups=c.norm_groups, mv_views=c.mv_views,
                         cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                        use_ma=c.use_ma, use_ra=c.use_ra,
+                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
                         ip_dim=c.ip_dim, ip_weight=c.ip_weight,
                         name=f"up_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,

@@ -52,7 +52,12 @@ class PaintConfig:
     view_weights: Tuple[float, ...] = (1., .1, .5, .1, .05, .05)
     camera_distance: float = 1.45
     bake_exp: float = 4.0
-    num_cls: int = 44                 # camera_info label range
+    # camera_info embedding table: 5 reference labels + 44 gen labels
+    # (UNet2p5D init_camera_embedding, hunyuanpaint/unet/modules.py:
+    # 450-456: max_num_ref_image=5, max_num_gen_image=44); gen labels
+    # from `_camera_info` are offset by num_ref_cls at lookup
+    num_cls: int = 49
+    num_ref_cls: int = 5
     prompt_tokens: int = 77
     prompt_dim: int = 1024
     # Hunyuan 2.1 PBR: attribute groups denoised jointly with learned
@@ -92,7 +97,18 @@ def _camera_info(azims, elevs) -> np.ndarray:
 class Hunyuan3DPaintPipeline:
     def __init__(self, params, cfg: PaintConfig = PaintConfig()):
         self.cfg = cfg
-        self.unet = UNet2DCondition(cfg.unet)
+        # gen stream always carries the 2p5D attentions (attn_refview +
+        # attn_multiview, hunyuanpaint/unet/modules.py:409-418); the
+        # dual ("write") stream is the original 4-channel UNet copied
+        # before conv_in widening, with neither (modules.py:415-417)
+        self.gen_cfg = dataclasses.replace(
+            cfg.unet, use_ma=True, use_ra=True,
+            mv_views=len(cfg.camera_azims))
+        self.dual_cfg = dataclasses.replace(
+            cfg.unet, in_channels=4, use_ma=False, use_ra=False,
+            mv_views=1)
+        self.unet = UNet2DCondition(self.gen_cfg)
+        self.unet_dual = UNet2DCondition(self.dual_cfg)
         self.vae = AutoencoderKL(cfg.vae)
         self.cls_embed = _ClsEmbed(cfg.num_cls,
                                    cfg.unet.block_out_channels[0] * 4)
@@ -106,28 +122,44 @@ class Hunyuan3DPaintPipeline:
                     ) -> "Hunyuan3DPaintPipeline":
         cfg = cfg or PaintConfig()
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         v = len(cfg.camera_azims)
-        lat = cfg.render_size // 8
+        # param shapes don't depend on spatial dims (no learned pos
+        # emb in the UNet) — init with a tiny probe so flax init never
+        # runs full-resolution attention on host
+        lat = min(cfg.render_size // 8, 8)
+        self_ = cls({}, cfg)
         params = {
-            "unet": UNet2DCondition(cfg.unet).init(
+            "unet": self_.unet.init(
                 k1, jnp.zeros((v, lat, lat, cfg.unet.in_channels)),
                 jnp.zeros((v,)),
                 jnp.zeros((v, cfg.prompt_tokens, cfg.prompt_dim)),
                 class_emb=jnp.zeros(
                     (v, cfg.unet.block_out_channels[0] * 4)))["params"],
+            "unet_dual": self_.unet_dual.init(
+                k5, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,)),
+                jnp.zeros((1, cfg.prompt_tokens, cfg.prompt_dim)),
+                class_emb=jnp.zeros(
+                    (1, cfg.unet.block_out_channels[0] * 4)))["params"],
             "vae": AutoencoderKL(cfg.vae).init(
                 k2, jnp.zeros((1, 64, 64, 3)))["params"],
             "cls": _ClsEmbed(cfg.num_cls,
                              cfg.unet.block_out_channels[0] * 4).init(
                 k3, jnp.zeros((v,), jnp.int32))["params"],
+            # learned_text_clip_{gen,ref} (modules.py:447-448)
+            "text_gen": 0.02 * jax.random.normal(
+                k6, (cfg.prompt_tokens, cfg.prompt_dim)),
+            "text_ref": 0.02 * jax.random.normal(
+                jax.random.fold_in(k6, 1),
+                (cfg.prompt_tokens, cfg.prompt_dim)),
         }
         if cfg.pbr_settings:
-            # learned_text_clip_{attr} role (model.py:332-335)
+            # learned_text_clip_{attr} role (2.1 model.py:332-335)
             params["attr_embeds"] = 0.02 * jax.random.normal(
                 k4, (len(cfg.pbr_settings), cfg.prompt_tokens,
                      cfg.prompt_dim))
-        return cls(params, cfg)
+        self_.params = params
+        return self_
 
     def set_delight(self, fn):
         self.delight = fn
@@ -174,57 +206,57 @@ class Hunyuan3DPaintPipeline:
                  num_steps: int, guidance_scale,
                  scheduler_name: str = "EulerAncestralDiscreteScheduler",
                  noise=None):
-        """Rows are ordered [cfg, attr, view] — each contiguous
-        `mv_views` group is one (cfg-stream, pbr-attribute) set, so the
-        joint MV attention never mixes attributes or guidance streams
-        (the SelfAttnProcessor per-attribute split of
-        hunyuanpaintpbr/unet/attn_processor.py:745-756)."""
+        """Rows are ordered [attr, view] — each contiguous `mv_views`
+        group is one pbr-attribute set, so the joint MV attention never
+        mixes attributes (the SelfAttnProcessor per-attribute split of
+        hunyuanpaintpbr/unet/attn_processor.py:745-756).
+
+        Reference conditioning follows the checkpoint contract
+        (hunyuanpaint/unet/modules.py:525-558 + pipeline.py:338-341):
+        the dual-stream UNet runs ONCE on the clean reference latents at
+        t=0 with the learned ref text tokens, capturing per-block norm1
+        tokens; the gen UNet reads them through attn_refview. CFG: the
+        uncond stream has zero prompt tokens and ref_scale 0 (here: no
+        ref read at all), the cond stream learned_text_clip_gen (or the
+        per-attribute tokens) and ref_scale 1."""
         cfg = self.cfg
         nv = geom_lat.shape[0]
         n_pbr = max(1, len(cfg.pbr_settings))
+        rows = n_pbr * nv
         sched = make_scheduler(scheduler_name, cfg.scheduler, num_steps)
-        cls_emb = self.cls_embed.apply({"params": params["cls"]},
-                                       cam_labels)
-        geom2 = jnp.tile(geom_lat, (2 * n_pbr, 1, 1, 1))
-        cls2 = jnp.tile(cls_emb, (2 * n_pbr, 1))
+        cls_gen = self.cls_embed.apply(
+            {"params": params["cls"]}, cam_labels + cfg.num_ref_cls)
+        cls_gen = jnp.tile(cls_gen, (n_pbr, 1))
+        # reference write pass: clean latents, timestep 0, ref label 0
+        n_ref = img_lat.shape[0]
+        cls_ref = self.cls_embed.apply(
+            {"params": params["cls"]}, jnp.zeros((n_ref,), jnp.int32))
+        ctx_ref = jnp.tile(params["text_ref"][None], (n_ref, 1, 1))
+        _, ref = self.unet_dual.apply(
+            {"params": params["unet_dual"]}, img_lat,
+            jnp.zeros((n_ref,)), ctx_ref, ref_mode="write",
+            class_emb=cls_ref)
         if cfg.pbr_settings:
-            # per-attribute learned prompt context, tiled per view and
-            # per guidance stream
-            ctx = jnp.tile(jnp.repeat(params["attr_embeds"], nv, axis=0),
-                           (2, 1, 1))
+            ctx_c = jnp.repeat(params["attr_embeds"], nv, axis=0)
         else:
-            ctx = jnp.zeros((2 * n_pbr * nv, cfg.prompt_tokens,
-                             cfg.prompt_dim))
-        # [uncond, cond] tiled to the (attr, view) axes: the mv_views
-        # joint attention needs the ref batch to match the denoise batch
-        img2 = jnp.repeat(jnp.concatenate(
-            [jnp.zeros_like(img_lat), img_lat], axis=0), n_pbr * nv,
-            axis=0)
+            ctx_c = jnp.tile(params["text_gen"][None], (rows, 1, 1))
+        ctx_u = jnp.zeros_like(ctx_c)
+        geom = jnp.tile(geom_lat, (n_pbr, 1, 1, 1))
         latents = noise * sched.init_sigma
 
         def body(i, carry):
             latents, aux, key = carry
-            key, k_cond, k_step = jax.random.split(key, 3)
+            key, k_step = jax.random.split(key)
             t = sched.timesteps[i]
-            tvec = jnp.full((2 * n_pbr * nv,), t, jnp.float32)
-            # reference write: re-noised condition latent (the
-            # RefOnlyNoisedUNet mechanism, hunyuanpaint pipeline.py)
-            noisy = sched.add_noise(
-                img2, jax.random.normal(k_cond, img2.shape), i)
-            noisy = sched.scale_model_input(noisy, i)
-            ref_in = jnp.concatenate(
-                [noisy, jnp.zeros(noisy.shape[:-1] + (8,))], axis=-1)
-            _, ref = self.unet.apply(
-                {"params": params["unet"]}, ref_in, tvec,
-                ctx, ref_mode="write",
-                class_emb=jnp.zeros_like(cls2))
-            x2 = jnp.concatenate([latents, latents], axis=0)
-            x2 = sched.scale_model_input(x2, i)
-            x2 = jnp.concatenate([x2, geom2], axis=-1)
-            eps, _ = self.unet.apply(
-                {"params": params["unet"]}, x2, tvec, ctx,
-                ref_mode="read", ref_hidden=ref, class_emb=cls2)
-            e_u, e_c = jnp.split(eps, 2, axis=0)
+            tvec = jnp.full((rows,), t, jnp.float32)
+            x = sched.scale_model_input(latents, i)
+            x = jnp.concatenate([x, geom], axis=-1)
+            e_u, _ = self.unet.apply(
+                {"params": params["unet"]}, x, tvec, ctx_u,
+                class_emb=cls_gen)
+            e_c, _ = self.unet.apply(
+                {"params": params["unet"]}, x, tvec, ctx_c,
+                ref_mode="read", ref_hidden=ref, class_emb=cls_gen)
             eps = e_u + guidance_scale * (e_c - e_u)
             latents, aux = sched.step_aux(eps, i, latents, aux,
                                           key=k_step)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import base
 from .base import maybe_shard, register
 
 
@@ -24,10 +25,26 @@ class Load_CharacterGen_MVDiffusion_Model:
         }}
 
     def load_model(self, force_download=False):
+        import os
+
         from ..models.charactergen import CharacterGen2DPipeline
-        print("[Load_CharacterGen_MVDiffusion_Model] initializing "
-              "random weights (no local checkpoint)")
-        return (maybe_shard(CharacterGen2DPipeline.init_random()),)
+        root = os.path.join(base.CKPT_ROOT_PATH, "CharacterGen")
+        ckpt_dir = os.path.join(root, "2D_Stage", "models",
+                                "checkpoint")
+        if os.path.exists(os.path.join(ckpt_dir, "pytorch_model.bin")):
+            from ..models.charactergen.convert import \
+                load_charactergen_2d
+            sd_base = os.path.join(base.CKPT_ROOT_PATH, "Diffusers",
+                                   "stabilityai",
+                                   "stable-diffusion-2-1")
+            pipe = load_charactergen_2d(
+                root, sd_base if os.path.isdir(sd_base) else None)
+        else:
+            print("[Load_CharacterGen_MVDiffusion_Model] no local "
+                  f"checkpoint under {ckpt_dir} — initializing random "
+                  "weights")
+            pipe = CharacterGen2DPipeline.init_random()
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -103,10 +120,20 @@ class Load_CharacterGen_Reconstruction_Model:
         }}
 
     def load_model(self, force_download=False):
+        import os
+
         from ..models.charactergen import CharacterGenLRMPipeline
-        print("[Load_CharacterGen_Reconstruction_Model] initializing "
-              "random weights (no local checkpoint)")
-        return (maybe_shard(CharacterGenLRMPipeline.init_random()),)
+        root = os.path.join(base.CKPT_ROOT_PATH, "CharacterGen")
+        ckpt = os.path.join(root, "3D_Stage", "models", "lrm.ckpt")
+        if os.path.exists(ckpt):
+            from ..models.charactergen.convert import \
+                load_charactergen_lrm
+            pipe = load_charactergen_lrm(root)
+        else:
+            print("[Load_CharacterGen_Reconstruction_Model] no local "
+                  f"checkpoint at {ckpt} — initializing random weights")
+            pipe = CharacterGenLRMPipeline.init_random()
+        return (maybe_shard(pipe),)
 
 
 @register
@@ -143,5 +170,7 @@ class CharacterGen_Reconstruction_Model:
             imgs = np.pad(imgs, ((0, 0), (pad_h, m - h - pad_h),
                                  (pad_w, m - w - pad_w), (0, 0)),
                           constant_values=1.0)
-        mesh = character_lrm_pipe.inference(imgs)
+        mesh = character_lrm_pipe.inference(
+            imgs, mesh_size=getattr(character_lrm_pipe,
+                                    "default_mesh_size", 256))
         return (mesh,)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import base
@@ -197,9 +199,22 @@ class Load_Hunyuan3D_V2_TexGen_Pipeline:
 
     def load(self, model_variant="Turbo"):
         from ..models.hunyuan3d import Hunyuan3DPaintPipeline
-        print("[Load_Hunyuan3D_V2_TexGen_Pipeline] initializing random "
-              "weights (no local paint checkpoint)")
-        pipe = Hunyuan3DPaintPipeline.init_random()
+        root = os.path.join(base.CKPT_ROOT_PATH, "Diffusers", "tencent",
+                            "Hunyuan3D-2")
+        sub = ("hunyuan3d-paint-v2-0-turbo" if model_variant == "Turbo"
+               else "hunyuan3d-paint-v2-0")
+        model_dir = os.path.join(root, sub)
+        if not os.path.isdir(os.path.join(model_dir, "unet")):
+            model_dir = os.path.join(root, "hunyuan3d-paint-v2-0")
+        if os.path.isdir(os.path.join(model_dir, "unet")):
+            from ..models.hunyuan3d.paint_convert import \
+                load_paint_checkpoint
+            pipe = load_paint_checkpoint(model_dir)
+        else:
+            print("[Load_Hunyuan3D_V2_TexGen_Pipeline] no local paint "
+                  f"checkpoint under {root} — initializing random "
+                  "weights")
+            pipe = Hunyuan3DPaintPipeline.init_random()
         pipe.default_steps = 8 if model_variant == "Turbo" else 25
         return (maybe_shard(pipe),)
 

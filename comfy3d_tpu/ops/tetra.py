@@ -348,21 +348,38 @@ def extract_isosurface_device(grid, iso: float = 0.0,
     spacing = (bounds[1] - bounds[0]) / (r - 1)
     cap = max_tris
     for attempt in range(4):
+        last = attempt == 3
         soup, count, overflow = marching_tets_grid(
             jnp.asarray(grid), iso=iso, origin=(bounds[0],) * 3,
             spacing=spacing, max_tris=cap)
+        # check the sweep BEFORE welding: welding an overflowed soup is
+        # wasted peak memory, and the previous attempt's buffers must
+        # be dead before the doubled-capacity retry allocates (the
+        # escalation to 8M tris otherwise OOMs a 16 GB chip — the two
+        # generations of soup+weld buffers overlap)
+        if bool(overflow):
+            if on_overflow == "raise":
+                raise RuntimeError(
+                    f"marching tets overflow: capacity {cap} hit")
+            if on_overflow == "retry" and not last:
+                del soup, count, overflow
+                cap *= 2
+                continue
+            import warnings
+            warnings.warn(
+                f"marching tets overflow: capacity {cap} hit (clipped)")
         v, f, nv, nf, v_ovf = weld_device(soup, count, max_verts=cap)
-        overflow = bool(overflow) or bool(v_ovf)
-        if not overflow:
+        del soup
+        if not bool(v_ovf):
             return v, f, nv, nf
         if on_overflow == "raise":
             raise RuntimeError(
-                f"marching tets overflow: capacity {cap} hit")
-        if on_overflow != "retry" or attempt == 3:
+                f"weld overflow: vertex capacity {cap} hit")
+        if on_overflow != "retry" or last:
             import warnings
-            warnings.warn(
-                f"marching tets overflow: capacity {cap} hit")
+            warnings.warn(f"weld overflow: vertex capacity {cap} hit")
             return v, f, jnp.minimum(nv, cap), nf
+        del v, f, nv, nf, v_ovf
         cap *= 2
     raise AssertionError  # unreachable
 

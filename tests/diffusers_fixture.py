@@ -36,11 +36,18 @@ def enumerate_unet_keys(down_block_types, up_block_types,
                         block_out_channels,
                         layers_per_block=2, use_linear_projection=True,
                         transformer_layers_per_block=1,
-                        cd_joint=False, mv_rowwise=False):
+                        cd_joint=False, mv_rowwise=False,
+                        hunyuan_2p5d=False):
     """Key layout of diffusers UNet2DConditionModel state dicts
     (the layout `models.diffusion.convert.unet_rules` consumes).
     `cd_joint` adds Wonder3D's per-transformer-block cross-domain
-    joint attention (UNetMV2DConditionModel, transformer_mv2d.py)."""
+    joint attention (UNetMV2DConditionModel, transformer_mv2d.py).
+    `hunyuan_2p5d` reproduces Basic2p5DTransformerBlock nesting
+    (hunyuanpaint/unet/modules.py:46-79): "gen" = diffusers sublayers
+    under an extra `.transformer.` segment plus sibling attn_multiview /
+    attn_refview attentions; "dual" = the write-stream copy, which is
+    wrapped (same nesting) but carries no extra attentions
+    (modules.py:415-418 wraps with use_ma=use_ra=False)."""
     keys = []
     proj_kind = "linear" if use_linear_projection else "conv1x1"
     _wb("conv_in", "conv", keys)
@@ -61,15 +68,21 @@ def enumerate_unet_keys(down_block_types, up_block_types,
         _wb(base + ".proj_in", proj_kind, keys)
         for k in range(transformer_layers_per_block):
             tb = f"{base}.transformer_blocks.{k}"
+            inner = tb + (".transformer" if hunyuan_2p5d else "")
             for a in ("attn1", "attn2"):
                 for p in ("to_q", "to_k", "to_v"):
-                    keys.append((f"{tb}.{a}.{p}.weight", "linear"))
-                _wb(f"{tb}.{a}.to_out.0", "linear", keys)
-            _wb(tb + ".norm1", "raw", keys)
-            _wb(tb + ".norm2", "raw", keys)
-            _wb(tb + ".norm3", "raw", keys)
-            _wb(tb + ".ff.net.0.proj", "linear", keys)
-            _wb(tb + ".ff.net.2", "linear", keys)
+                    keys.append((f"{inner}.{a}.{p}.weight", "linear"))
+                _wb(f"{inner}.{a}.to_out.0", "linear", keys)
+            _wb(inner + ".norm1", "raw", keys)
+            _wb(inner + ".norm2", "raw", keys)
+            _wb(inner + ".norm3", "raw", keys)
+            _wb(inner + ".ff.net.0.proj", "linear", keys)
+            _wb(inner + ".ff.net.2", "linear", keys)
+            if hunyuan_2p5d == "gen" or hunyuan_2p5d is True:
+                for a in ("attn_multiview", "attn_refview"):
+                    for p in ("to_q", "to_k", "to_v"):
+                        keys.append((f"{tb}.{a}.{p}.weight", "linear"))
+                    _wb(f"{tb}.{a}.to_out.0", "linear", keys)
             if cd_joint and not mv_rowwise:
                 for p in ("to_q", "to_k", "to_v"):
                     keys.append((f"{tb}.attn_joint_mid.{p}.weight",

@@ -57,13 +57,13 @@ def test_lrm_mesh(lrm):
     imgs = np.random.RandomState(3).rand(4, 28, 28, 3).astype(np.float32)
     mesh = lrm.inference(imgs, mesh_size=20)
     assert mesh.num_vertices > 0
-    assert np.abs(mesh.v).max() <= lrm.cfg.svrm.radius + 1e-5
+    assert np.abs(mesh.v).max() <= lrm.cfg.radius + 1e-5
 
 
 def test_reconstruction_node(lrm):
     from comfy3d_tpu.nodes.nodes_charactergen import (
         CharacterGen_Reconstruction_Model)
-    lrm.cfg = dc.replace(lrm.cfg, mesh_size=20)
+    lrm.default_mesh_size = 20
     imgs = np.random.RandomState(4).rand(4, 36, 24, 3).astype(np.float32)
     masks = np.ones((4, 36, 24), np.float32)
     (mesh,) = CharacterGen_Reconstruction_Model().run_LRM(

@@ -1,0 +1,344 @@
+"""CharacterGen Stage-2D checkpoint conversion: layout bijection for
+both UNet streams (+ camera MLP), dropped-module handling, and an
+end-to-end load through fabricated on-disk checkpoints.
+
+Reference layout: `CharacterGen/character_inference.py:103-127`
+(`pytorch_model.bin` gen UNetMV2DConditionModel with
+`camera_embedding.{0,2}` + dead `class_embedding`;
+`pytorch_model_2.bin` ref UNetMV2DRefModel;
+`2D_Stage/models/image_encoder` CLIPVisionModelWithProjection).
+"""
+
+import dataclasses as dc
+import os
+
+import numpy as np
+import pytest
+
+import diffusers_fixture as dfx
+import test_diffusion as td
+from comfy3d_tpu.models.charactergen import (CharacterGen2DConfig,
+                                             CharacterGen2DPipeline)
+from comfy3d_tpu.models.charactergen.convert import (
+    charactergen_unet_rules, convert_charactergen_2d,
+    load_charactergen_2d)
+
+
+def _tiny_cfg():
+    u = dc.replace(td.tiny_unet_cfg(), mv_views=4)
+    return CharacterGen2DConfig(width=32, height=48, unet=u,
+                                vae=td.tiny_vae_cfg(), prompt_tokens=3,
+                                prompt_dim=16, camera_dim=12)
+
+
+def _enumerate_gen(cfg):
+    u = cfg.unet
+    keys = dfx.enumerate_unet_keys(
+        u.down_block_types, u.up_block_types, u.block_out_channels,
+        layers_per_block=u.layers_per_block)
+    for i in ("0", "2"):
+        dfx._wb(f"camera_embedding.{i}", "linear", keys)
+    return keys
+
+
+def _enumerate_ref(cfg):
+    u = cfg.unet
+    return dfx.enumerate_unet_keys(
+        u.down_block_types, u.up_block_types, u.block_out_channels,
+        layers_per_block=u.layers_per_block)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return CharacterGen2DPipeline.init_random(cfg=_tiny_cfg())
+
+
+@pytest.fixture(scope="module")
+def fabricated(pipe):
+    rng = np.random.default_rng(7)
+    rules = charactergen_unet_rules()
+    gen_flax = dict(pipe.params["unet"])
+    gen_flax["linear_1"] = pipe.params["camera"]["linear_1"]
+    gen_flax["linear_2"] = pipe.params["camera"]["linear_2"]
+    gen_sd = dfx.fabricate_state_dict(_enumerate_gen(pipe.cfg), rules,
+                                      gen_flax, rng)
+    ref_sd = dfx.fabricate_state_dict(
+        _enumerate_ref(pipe.cfg), charactergen_unet_rules(False),
+        pipe.params["ref_unet"], rng)
+    return gen_sd, ref_sd
+
+
+def test_bijection_and_shapes(pipe, fabricated):
+    gen_sd, ref_sd = fabricated
+    # dead class_embedding keys must be dropped, not errored
+    gen_sd = dict(gen_sd)
+    gen_sd["class_embedding.linear_1.weight"] = np.zeros(
+        (8, 10), np.float32)
+    gen_sd["class_embedding.linear_1.bias"] = np.zeros((8,), np.float32)
+    params = convert_charactergen_2d(gen_sd, ref_sd)
+    flat_c = dfx._flat(params["unet"])
+    flat_r = dfx._flat(pipe.params["unet"])
+    assert set(flat_c) == set(flat_r)
+    for k in flat_c:
+        assert flat_c[k].shape == flat_r[k].shape, k
+    assert set(dfx._flat(params["ref_unet"])) == \
+        set(dfx._flat(pipe.params["ref_unet"]))
+    assert params["camera"]["linear_1"]["kernel"].shape == (12, 32)
+
+
+def test_converted_pipeline_runs(pipe, fabricated):
+    gen_sd, ref_sd = fabricated
+    params = convert_charactergen_2d(gen_sd, ref_sd)
+    p2 = CharacterGen2DPipeline.init_random(cfg=pipe.cfg)
+    for g in ("unet", "ref_unet", "camera"):
+        p2.params[g] = params[g]
+    img = np.random.RandomState(0).rand(48, 32, 3).astype(np.float32)
+    views = np.asarray(p2.inference(img, num_inference_steps=2))
+    assert views.shape == (4, 48, 32, 3)
+    assert np.isfinite(views).all()
+
+
+def test_ref_unet_weights_matter(pipe, fabricated):
+    """The converted ref stream must actually condition the gen pass:
+    the gen UNet's eps must respond to the written ref tokens. (Probed
+    at the eps level — the fabricated 0.05-std weights attenuate the
+    signal below image-space float32 resolution after VAE decode.)"""
+    import jax
+    import jax.numpy as jnp
+
+    gen_sd, ref_sd = fabricated
+    params = convert_charactergen_2d(gen_sd, ref_sd)
+    p2 = CharacterGen2DPipeline.init_random(cfg=pipe.cfg)
+    for g in ("unet", "ref_unet", "camera"):
+        p2.params[g] = params[g]
+
+    lat = jnp.asarray(np.random.RandomState(0).rand(1, 6, 4, 4),
+                      jnp.float32)
+    text = jnp.zeros((1, 3, 16))
+    _, ref = p2.ref_unet.apply({"params": p2.params["ref_unet"]}, lat,
+                               jnp.zeros((1,)), text, ref_mode="write")
+    # every cross-attn block must have written a token bundle
+    assert all(v is not None for vs in ref.values() for v in vs)
+
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 6, 4, 4),
+                    jnp.float32)
+    states = jnp.zeros((4, 1, 16))
+    cam = jnp.zeros((4, 32))
+    kw = dict(class_emb=cam)
+    e1, _ = p2.unet.apply({"params": p2.params["unet"]}, x,
+                          jnp.full((4,), 500.0), states,
+                          ref_mode="read", ref_hidden=ref, **kw)
+    ref0 = jax.tree.map(lambda a: a * 0.0, ref)
+    e2, _ = p2.unet.apply({"params": p2.params["unet"]}, x,
+                          jnp.full((4,), 500.0), states,
+                          ref_mode="read", ref_hidden=ref0, **kw)
+    assert float(jnp.abs(e1 - e2).max()) > 1e-6
+
+
+def test_loader_from_disk(tmp_path, pipe, fabricated):
+    """Full on-disk loader path with the reference directory layout."""
+    import torch
+
+    gen_sd, ref_sd = fabricated
+    ckpt = tmp_path / "2D_Stage" / "models" / "checkpoint"
+    os.makedirs(ckpt)
+    torch.save({k: torch.from_numpy(v) for k, v in gen_sd.items()},
+               ckpt / "pytorch_model.bin")
+    # pytorch_model_1.bin = PoseGuider (dead at inference; loader must
+    # pick _2 when present)
+    torch.save({"conv.weight": torch.zeros(1)},
+               ckpt / "pytorch_model_1.bin")
+    torch.save({k: torch.from_numpy(v) for k, v in ref_sd.items()},
+               ckpt / "pytorch_model_2.bin")
+
+    import comfy3d_tpu.models.charactergen.convert as cvt
+    tiny = _tiny_cfg()
+    orig = cvt.SD21_UNET_JSON
+    cvt.SD21_UNET_JSON = {
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": list(tiny.unet.block_out_channels),
+        "layers_per_block": 1, "cross_attention_dim": 16,
+        "attention_head_dim": 4, "norm_num_groups": 4,
+        "down_block_types": list(tiny.unet.down_block_types),
+        "up_block_types": list(tiny.unet.up_block_types),
+        "multiview_attention": True,
+    }
+    try:
+        p = load_charactergen_2d(str(tmp_path))
+    finally:
+        cvt.SD21_UNET_JSON = orig
+    assert p.cfg.unet.mv_views == 4
+    assert p.cfg.prompt_dim == 16
+    img = np.random.RandomState(1).rand(48, 32, 3).astype(np.float32)
+    views = np.asarray(p.inference(img, width=32, height=48,
+                                   num_inference_steps=2))
+    assert views.shape == (4, 48, 32, 3)
+    assert np.isfinite(views).all()
+
+
+# ------------------------------------------------------------------ #
+# Stage 3D: MultiviewLRM converter
+# ------------------------------------------------------------------ #
+def _fabricate_lrm_sd(cfg, rng):
+    """Torch-layout lrm.ckpt state dict for a tiny CGLRMConfig:
+    HF dinov2 keys (via a real transformers model) + threestudio
+    module keys per `Stage_3D_infer.yaml`."""
+    import torch
+    from transformers import Dinov2Config as HFConfig, Dinov2Model
+
+    torch.manual_seed(11)
+    d = cfg.dino
+    hf = Dinov2Model(HFConfig(
+        hidden_size=d.hidden, num_hidden_layers=d.layers,
+        num_attention_heads=d.heads, mlp_ratio=d.mlp_ratio,
+        image_size=d.pretrain_image_size, patch_size=d.patch))
+    sd = {f"image_tokenizer.model.{k}": v.numpy()
+          for k, v in hf.state_dict().items()}
+    # per-layer camera Modulation (single_layer → linear2 only),
+    # registered on the layer AND aliased in a ModuleList
+    for i in range(d.layers):
+        for nm in ("norm1_modulation", "norm2_modulation"):
+            w = rng.standard_normal(
+                (2 * d.hidden, cfg.cam_embed_dim)).astype(np.float32)
+            b = rng.standard_normal((2 * d.hidden,)).astype(np.float32)
+            sd[f"image_tokenizer.model.encoder.layer.{i}.{nm}"
+               f".linear2.weight"] = w
+            sd[f"image_tokenizer.model.encoder.layer.{i}.{nm}"
+               f".linear2.bias"] = b
+            # the ModuleList alias (same tensors) must be skipped
+            j = 2 * i + (0 if nm.startswith("norm1") else 1)
+            sd[f"image_tokenizer.modulations.{j}.linear2.weight"] = w
+            sd[f"image_tokenizer.modulations.{j}.linear2.bias"] = b
+
+    sd["camera_embedder.linear.weight"] = rng.standard_normal(
+        (cfg.cam_embed_dim, cfg.cam_dim)).astype(np.float32)
+    sd["camera_embedder.linear.bias"] = rng.standard_normal(
+        (cfg.cam_embed_dim,)).astype(np.float32)
+    sd["tokenizer.embeddings"] = rng.standard_normal(
+        (3, cfg.num_channels, cfg.plane_size,
+         cfg.plane_size)).astype(np.float32)
+
+    inner = cfg.backbone_heads * cfg.backbone_head_dim
+    C = cfg.num_channels
+
+    def lin(name, o, i_):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (o, i_)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    def raw(name, n):
+        sd[f"{name}.weight"] = np.ones((n,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((n,), np.float32)
+
+    raw("backbone.norm", C)
+    lin("backbone.proj_in", inner, C)
+    lin("backbone.proj_out", C, inner)
+    for i in range(cfg.backbone_layers):
+        tb = f"backbone.transformer_blocks.{i}"
+        for nm in ("norm1", "norm2", "norm3"):
+            raw(f"{tb}.{nm}", inner)
+        for a, kdim in (("attn1", inner), ("attn2", cfg.context_dim)):
+            for p, i_ in (("to_q", inner), ("to_k", kdim),
+                          ("to_v", kdim)):
+                sd[f"{tb}.{a}.{p}.weight"] = rng.standard_normal(
+                    (inner, i_)).astype(np.float32) * 0.05
+            lin(f"{tb}.{a}.to_out.0", inner, inner)
+        lin(f"{tb}.ff.net.0.proj", 8 * inner, inner)
+        lin(f"{tb}.ff.net.2", inner, 4 * inner)
+
+    sd["post_processor.upsample.weight"] = rng.standard_normal(
+        (cfg.num_channels, cfg.triplane_dim, 2, 2)).astype(np.float32)
+    sd["post_processor.upsample.bias"] = rng.standard_normal(
+        (cfg.triplane_dim,)).astype(np.float32)
+
+    n = cfg.n_neurons
+    lin("decoder.shared_layers.0", n, 3 * cfg.triplane_dim)
+    for i in range(1, cfg.n_hidden_shared):
+        lin(f"decoder.shared_layers.{2 * i}", n, n)
+    for head, out in (("sdf", 1), ("features", 3), ("density", 1)):
+        lin(f"decoder.heads.{head}.0", n, n)
+        lin(f"decoder.heads.{head}.2", out, n)
+    return sd
+
+
+def test_lrm_converter_bijection_and_run():
+    import jax.numpy as jnp
+
+    from comfy3d_tpu.models.charactergen.convert import \
+        convert_charactergen_lrm
+    from comfy3d_tpu.models.charactergen.lrm import (
+        CGLRMConfig, CharacterGenLRMPipeline)
+
+    cfg = CGLRMConfig.tiny()
+    rng = np.random.default_rng(5)
+    sd = _fabricate_lrm_sd(cfg, rng)
+    params = convert_charactergen_lrm(sd)
+
+    pipe = CharacterGenLRMPipeline.init_random(cfg=cfg)
+    flat_c = dfx._flat(params)
+    flat_r = dfx._flat(pipe.params)
+    assert set(flat_c) == set(flat_r), (
+        sorted(set(flat_c) ^ set(flat_r))[:8])
+    for k in flat_c:
+        assert flat_c[k].shape == flat_r[k].shape, k
+    pipe.params = params
+
+    imgs = np.random.RandomState(3).rand(4, 28, 28, 3).astype(
+        np.float32)
+    mesh = pipe.inference(imgs, mesh_size=20)
+    assert mesh.num_vertices > 0
+    assert np.isfinite(np.asarray(mesh.v)).all()
+
+    # camera conditioning must reach the planes (ModLN path)
+    planes_a = pipe._forward(pipe.params,
+                             jnp.asarray(imgs), jnp.asarray(
+                                 pipe.default_cams(4, radius=1.5)))
+    planes_b = pipe._forward(pipe.params,
+                             jnp.asarray(imgs), jnp.asarray(
+                                 pipe.default_cams(4, radius=2.5)))
+    assert float(np.abs(np.asarray(planes_a - planes_b)).max()) > 1e-6
+
+
+def test_lrm_decoder_matches_torch_oracle():
+    """Shared-MLP + heads vs a torch transcription of MultiHeadMLP
+    (networks.py:144-243, silu activation) including the 'negative'
+    shifted-sdf activation (triplane_dmtet.py:91-121)."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from comfy3d_tpu.models.charactergen.convert import \
+        convert_charactergen_lrm
+    from comfy3d_tpu.models.charactergen.lrm import (
+        CGLRMConfig, CharacterGenLRM, CharacterGenLRMPipeline)
+
+    cfg = CGLRMConfig.tiny()
+    rng = np.random.default_rng(6)
+    sd = _fabricate_lrm_sd(cfg, rng)
+    params = convert_charactergen_lrm(sd)
+    pipe = CharacterGenLRMPipeline.init_random(cfg=cfg)
+    pipe.params = params
+
+    feat = rng.standard_normal((17, 3 * cfg.triplane_dim)).astype(
+        np.float32)
+
+    def t_lin(name, x):
+        return F.linear(x, torch.as_tensor(sd[f"{name}.weight"]),
+                        torch.as_tensor(sd[f"{name}.bias"]))
+
+    x = torch.as_tensor(feat)
+    for i in range(cfg.n_hidden_shared):
+        x = F.silu(t_lin(f"decoder.shared_layers.{2 * i}", x))
+    s = F.silu(t_lin("decoder.heads.sdf.0", x))
+    sdf_raw = t_lin("decoder.heads.sdf.2", s)[..., 0]
+    f = F.silu(t_lin("decoder.heads.features.0", x))
+    rgb = torch.sigmoid(t_lin("decoder.heads.features.2", f))
+    want_sdf = -(sdf_raw.numpy() + cfg.sdf_bias)
+
+    got_sdf, got_rgb = pipe.model.apply(
+        {"params": pipe.params}, jnp.asarray(feat),
+        method=CharacterGenLRM._decode)
+    np.testing.assert_allclose(np.asarray(got_sdf), want_sdf,
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_rgb), rgb.numpy(),
+                               atol=2e-5, rtol=0)
