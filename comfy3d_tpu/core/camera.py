@@ -140,6 +140,23 @@ def perspective(fovy_deg, aspect=1.0, near=0.01, far=100.0):
     return z
 
 
+def orthographic(left=-1.0, right=1.0, bottom=-1.0, top=1.0,
+                 near=0.01, far=100.0):
+    """OpenGL orthographic projection 4x4 (z_clip in [-1, 1]) — the
+    MV-Adapter render camera (`mvadapter/utils/camera.py`
+    get_orthogonal_camera; used with ±0.55 bounds,
+    mvadapter_node_utils.py:175-183)."""
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = 2.0 / (right - left)
+    m[1, 1] = 2.0 / (top - bottom)
+    m[2, 2] = -2.0 / (far - near)
+    m[0, 3] = -(right + left) / (right - left)
+    m[1, 3] = -(top + bottom) / (top - bottom)
+    m[2, 3] = -(far + near) / (far - near)
+    m[3, 3] = 1.0
+    return jnp.asarray(m)
+
+
 def invert_rigid(c2w):
     """Fast inverse of a rigid 4x4 (rotation+translation)."""
     R = c2w[..., :3, :3]

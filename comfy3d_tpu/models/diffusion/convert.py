@@ -84,6 +84,16 @@ _TBLOCK_SUB = {
     "attn_refview.to_k": ("attn_refview/to_k", _linear),
     "attn_refview.to_v": ("attn_refview/to_v", _linear),
     "attn_refview.to_out.0": ("attn_refview/to_out_0", _linear),
+    # MV-Adapter decoupled processors (attention_processor.py:385-438):
+    # saved under attn1.processor.to_*_{mv,ref}
+    "attn1.processor.to_q_mv": ("attn1_mv/to_q", _linear),
+    "attn1.processor.to_k_mv": ("attn1_mv/to_k", _linear),
+    "attn1.processor.to_v_mv": ("attn1_mv/to_v", _linear),
+    "attn1.processor.to_out_mv.0": ("attn1_mv/to_out_0", _linear),
+    "attn1.processor.to_q_ref": ("attn1_ref/to_q", _linear),
+    "attn1.processor.to_k_ref": ("attn1_ref/to_k", _linear),
+    "attn1.processor.to_v_ref": ("attn1_ref/to_v", _linear),
+    "attn1.processor.to_out_ref.0": ("attn1_ref/to_out_0", _linear),
 }
 
 
@@ -114,6 +124,13 @@ def unet_rules(prefix: str = "") -> Callable:
             "time_embedding.linear_2.weight": ("time_emb_2/kernel",
                                                t_linear),
             "time_embedding.linear_2.bias": ("time_emb_2/bias", None),
+            # SDXL text_time addition embedding
+            "add_embedding.linear_1.weight": ("add_emb_1/kernel",
+                                              t_linear),
+            "add_embedding.linear_1.bias": ("add_emb_1/bias", None),
+            "add_embedding.linear_2.weight": ("add_emb_2/kernel",
+                                              t_linear),
+            "add_embedding.linear_2.bias": ("add_emb_2/bias", None),
         }
         if key in simple:
             path, fn = simple[key]
@@ -283,6 +300,15 @@ def unet_config_from_json(cfg: dict, **overrides):
         # Era3D row-wise self-attention blocks
         # (selfattn_block="self_rowwise" in MacLab-Era3D configs)
         mv_rowwise=cfg.get("selfattn_block", "") == "self_rowwise",
+        # SDXL extensions
+        transformer_depth=tuple(tl) if isinstance(
+            (tl := cfg.get("transformer_layers_per_block", 1)),
+            (list, tuple)) else tl,
+        addition_embed_type=cfg.get("addition_embed_type") or "",
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256)
+        or 256,
+        addition_proj_dim=cfg.get(
+            "projection_class_embeddings_input_dim", 2816) or 2816,
     )
     kw.update(overrides)
     return UNetConfig(**kw)

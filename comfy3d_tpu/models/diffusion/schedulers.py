@@ -39,6 +39,10 @@ class SchedulerConfig:
     beta_schedule: str = "scaled_linear"
     prediction_type: str = "epsilon"       # or "v_prediction"
     timestep_spacing: str = "leading"      # or "trailing"
+    # >0: MV-Adapter ShiftSNRScheduler (scheduling_shift_snr.py:34-54,
+    # shift_mode="interpolated"): snr(t) → snr(t)·scale^{-t/(N-1)}
+    # (log-space interpolation between snr and snr/scale)
+    snr_shift_scale: float = 0.0
 
 
 def make_alphas(cfg: SchedulerConfig) -> np.ndarray:
@@ -50,7 +54,14 @@ def make_alphas(cfg: SchedulerConfig) -> np.ndarray:
                             cfg.num_train_timesteps)
     else:
         raise ValueError(cfg.beta_schedule)
-    return np.cumprod(1.0 - betas)
+    abar = np.cumprod(1.0 - betas)
+    if cfg.snr_shift_scale and cfg.snr_shift_scale > 0:
+        snr = abar / (1.0 - abar)
+        w = np.arange(cfg.num_train_timesteps) \
+            / (cfg.num_train_timesteps - 1)
+        snr = snr * cfg.snr_shift_scale ** (-w)
+        abar = snr / (1.0 + snr)
+    return abar
 
 
 def make_timesteps(cfg: SchedulerConfig, num_steps: int) -> np.ndarray:
@@ -182,6 +193,36 @@ class EulerAncestral(_FirstOrderMixin):
 
     def add_noise(self, x0, noise, i):
         return x0 + self.sigmas[i] * noise
+
+
+class DDPM(DDIM):
+    """Ancestral DDPM (diffusers DDPMScheduler, variance_type
+    fixed_small): posterior mean over the selected timestep pairs plus
+    beta-tilde noise. MV-Adapter's sampler (prepare_pipeline wraps it
+    in ShiftSNR — the shift lives in `make_alphas`)."""
+
+    def step(self, model_out, i, sample, key=None):
+        t = self.timesteps[i]
+        alpha_t = self.alphas[t]
+        prev_t = jnp.where(i + 1 < self.num_steps,
+                           self.timesteps[jnp.minimum(
+                               i + 1, self.num_steps - 1)], -1)
+        alpha_prev = jnp.where(prev_t >= 0,
+                               self.alphas[jnp.maximum(prev_t, 0)], 1.0)
+        cur_alpha = alpha_t / alpha_prev
+        cur_beta = 1.0 - cur_alpha
+        x0, _ = _predict_x0_eps(model_out, sample, alpha_t, self.cfg)
+        c_x0 = jnp.sqrt(alpha_prev) * cur_beta / (1.0 - alpha_t)
+        c_xt = jnp.sqrt(cur_alpha) * (1.0 - alpha_prev) \
+            / (1.0 - alpha_t)
+        prev = c_x0 * x0 + c_xt * sample
+        if key is not None:
+            var = jnp.clip((1.0 - alpha_prev) / (1.0 - alpha_t)
+                           * cur_beta, 1e-20, None)
+            noise = jax.random.normal(key, sample.shape)
+            prev = prev + jnp.where(prev_t >= 0, jnp.sqrt(var), 0.0) \
+                * noise
+        return prev
 
 
 class DDIMParallel(DDIM):
@@ -426,6 +467,7 @@ SCHEDULERS = {
     "EulerAncestralDiscreteScheduler": EulerAncestral,
     "EulerDiscreteScheduler": Euler,
     "DDIMScheduler": DDIM,
+    "DDPMScheduler": DDPM,
     "DDIMParallelScheduler": DDIMParallel,
     "LCMScheduler": LCM,
     "KDPM2AncestralDiscreteScheduler": KDPM2Ancestral,

@@ -76,6 +76,9 @@ class UNetConfig:
     # time_ids] (SDXL added_cond_kwargs)
     addition_embed_type: str = ""
     addition_time_embed_dim: int = 256
+    # projection_class_embeddings_input_dim: pooled-text dim +
+    # 6·addition_time_embed_dim (SDXL: 1280 + 1536 = 2816)
+    addition_proj_dim: int = 2816
     # MV-Adapter decoupled attention (MV_Adapter/mvadapter/models/
     # attention_processor.py:380 DecoupledMVRowColSelfAttnProcessor2_0):
     # every self-attn gains separate q/k/v/out "mv" (row+col attention
@@ -271,6 +274,8 @@ class TransformerBlock(nn.Module):
     use_ra: bool = False          # Hunyuan paint attn_refview
     mva_scale: float = 1.0
     ref_scale: float = 1.0
+    mv_decoupled: bool = False    # MV-Adapter decoupled mv/ref attn
+    mv_use_ref: bool = True
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -281,7 +286,30 @@ class TransformerBlock(nn.Module):
         extra = ref_hidden if ref_mode == "read" else None
         attn1 = CrossAttention(self.dim, self.heads, self.dim_head,
                                name="attn1")
-        if self.use_ma or self.use_ra:
+        if self.mv_decoupled:
+            # MV-Adapter decoupled branches (attention_processor.py:
+            # 380-745): base per-view self-attn + separate-projection
+            # row/col multi-view attn + ref cross-attn, added with
+            # scales. The reference ("write") pass runs with
+            # use_mv/use_ref disabled and caches the norm1 tokens —
+            # exactly our `written` contract.
+            x = x + attn1(h)
+            if ref_mode != "write":
+                x = x + self.mva_scale * DecoupledRowColAttention(
+                    self.dim, self.heads, self.dim_head,
+                    name="attn1_mv")(h, spatial_h=self.spatial_h,
+                                     views=self.mv_views)
+                if self.mv_use_ref:
+                    ref = extra if extra is not None else h
+                    if ref.shape[0] != h.shape[0]:
+                        ref = jnp.repeat(
+                            ref, h.shape[0] // ref.shape[0], axis=0)
+                    out = CrossAttention(
+                        self.dim, self.heads, self.dim_head,
+                        name="attn1_ref")(h, context=ref)
+                    x = x + (self.ref_scale if extra is not None
+                             else 0.0) * out
+        elif self.use_ma or self.use_ra:
             # Hunyuan 2p5D block (hunyuanpaint/unet/modules.py:104-246):
             # per-view self-attn, then refview / multiview attentions —
             # each reading the SAME norm1 output and adding residually
@@ -380,6 +408,8 @@ class SpatialTransformer(nn.Module):
     use_ra: bool = False
     mva_scale: float = 1.0
     ref_scale: float = 1.0
+    mv_decoupled: bool = False
+    mv_use_ref: bool = True
 
     @nn.compact
     def __call__(self, x, context, ref_mode=None, ref_hidden=None):
@@ -388,9 +418,10 @@ class SpatialTransformer(nn.Module):
         hid = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name="norm")(x)
         hid = hid.reshape(b, h * w, c)
         hid = nn.Dense(self.channels, name="proj_in")(hid)
-        # rowwise / hunyuan-2p5D restructure inside the block — no
-        # token fold here
+        # rowwise / hunyuan-2p5D / decoupled-mv restructure inside the
+        # block — no token fold here
         v = (1 if self.mv_rowwise or self.use_ma or self.use_ra
+             or self.mv_decoupled
              else self.mv_views)
         if v > 1:
             hid = hid.reshape(b // v, v * h * w, self.channels)
@@ -406,6 +437,8 @@ class SpatialTransformer(nn.Module):
                 ip_dim=self.ip_dim, ip_weight=self.ip_weight,
                 use_ma=self.use_ma, use_ra=self.use_ra,
                 mva_scale=self.mva_scale, ref_scale=self.ref_scale,
+                mv_decoupled=self.mv_decoupled,
+                mv_use_ref=self.mv_use_ref,
                 spatial_h=h, name=f"blocks_{i}")(
                 hid, context, ref_mode=ref_mode, ref_hidden=rh)
             written.append(wr)
@@ -447,7 +480,9 @@ class UNet2DCondition(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  ref_mode=None, ref_hidden=None,
                  class_emb=None, down_residuals=None, mid_residual=None,
-                 adapter_residuals=None, mv_views=None, pose_hook=None):
+                 adapter_residuals=None, mv_views=None, pose_hook=None,
+                 added_text_emb=None, added_time_ids=None,
+                 intrablock_residuals=None):
         """sample [B, H, W, Cin] (NHWC); timesteps [B]; context
         [B, T, D]. Returns (eps/v prediction [B, H, W, Cout],
         written ref-hidden dict when ref_mode == 'write').
@@ -461,7 +496,17 @@ class UNet2DCondition(nn.Module):
         adapter_residuals: T2I-Adapter intrablock residuals
         (diffusers `down_intrablock_additional_residuals`, the CRM T2I
         conditioning path) — one feature map per down stage, added
-        after the stage's first resnet."""
+        after the stage's first resnet.
+
+        intrablock_residuals: the diffusers SDXL T2I-Adapter variant of
+        the same contract (unet_2d_condition.py down-loop): a QUEUE of
+        feature maps — a DownBlock2D pops one after its downsample on
+        shape match, a CrossAttn block adds one after its LAST
+        (resnet, attn) pair, and the mid entry pops on shape match.
+
+        added_text_emb [B, P] + added_time_ids [B, 6]: SDXL
+        `added_cond_kwargs` (pooled prompt embedding + original/crop/
+        target size ids) for `addition_embed_type == "text_time"`."""
         c = self.cfg
         if mv_views is not None and mv_views != c.mv_views:
             # ImageDream runs V+1 frames when the conditioning
@@ -483,6 +528,27 @@ class UNet2DCondition(nn.Module):
             nn.silu(temb))
         if class_emb is not None:
             temb = temb + class_emb
+        if c.addition_embed_type == "text_time":
+            # SDXL add_embedding (unet_2d_condition.py "text_time"):
+            # fourier-embed the 6 time_ids, concat the pooled text
+            # embedding, run a second TimestepEmbedding MLP
+            bsz = sample.shape[0]
+            tids = added_time_ids if added_time_ids is not None else \
+                jnp.zeros((bsz, 6), jnp.float32)
+            tfeat = timestep_embedding(
+                tids.reshape(-1), c.addition_time_embed_dim)
+            tfeat = tfeat.reshape(bsz, -1)
+            ptxt = added_text_emb if added_text_emb is not None else \
+                jnp.zeros(
+                    (bsz,
+                     c.addition_proj_dim - 6 * c.addition_time_embed_dim),
+                    jnp.float32)
+            aug = jnp.concatenate([ptxt, tfeat], axis=-1)
+            aug = nn.Dense(c.block_out_channels[0] * 4,
+                           name="add_emb_1")(aug)
+            aug = nn.Dense(c.block_out_channels[0] * 4,
+                           name="add_emb_2")(nn.silu(aug))
+            temb = temb + aug
 
         h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
                     name="conv_in")(sample)
@@ -497,9 +563,29 @@ class UNet2DCondition(nn.Module):
 
         skips = [ctrl(h)]
 
+        # intrablock residual queue (diffusers SDXL T2I-Adapter
+        # semantics — see docstring); shape-gated head-of-queue pops
+        iq = list(intrablock_residuals) if intrablock_residuals else []
+
+        def iq_pop_if_match(x):
+            if iq and iq[0].shape == x.shape:
+                return x + iq.pop(0)
+            return x
+
+        def st_kwargs(depth):
+            return dict(
+                context_dim=c.cross_attention_dim, depth=depth,
+                norm_groups=c.norm_groups, mv_views=c.mv_views,
+                cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
+                use_ma=c.use_ma, use_ra=c.use_ra,
+                mva_scale=c.mva_scale, ref_scale=c.ref_scale,
+                mv_decoupled=c.mv_decoupled, mv_use_ref=c.mv_use_ref,
+                ip_dim=c.ip_dim, ip_weight=c.ip_weight)
+
         # down
         for bi, btype in enumerate(c.down_block_types):
             out_ch = c.block_out_channels[bi]
+            is_cross = btype.startswith("CrossAttnDownBlock")
             for li in range(c.layers_per_block):
                 h = ResnetBlock(out_ch, c.norm_groups,
                                 name=f"down_{bi}_res_{li}")(h, temb)
@@ -507,25 +593,30 @@ class UNet2DCondition(nn.Module):
                 # (which sets the stage's channel width)
                 if adapter_residuals is not None and li == 0:
                     h = h + adapter_residuals[bi]
-                if btype.startswith("CrossAttnDownBlock"):
+                if is_cross:
                     heads, dim_head = self._heads(out_ch)
                     key = next_ref()
                     rh = (ref_hidden or {}).get(key)
                     h, wr = SpatialTransformer(
-                        out_ch, heads, dim_head, c.cross_attention_dim,
-                        norm_groups=c.norm_groups, mv_views=c.mv_views,
-                        cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
-                        use_ma=c.use_ma, use_ra=c.use_ra,
-                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
-                        ip_dim=c.ip_dim, ip_weight=c.ip_weight,
+                        out_ch, heads, dim_head,
+                        **st_kwargs(c.depth_of(bi)),
                         name=f"down_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)
                     if ref_mode == "write":
                         written[key] = wr
+                    # CrossAttn block: add after the LAST (resnet,
+                    # attn) pair (unet_2d_blocks.py; shape-gated — for
+                    # the published SDXL adapters every queued feature
+                    # matches its block, so this is behavior-identical)
+                    if li == c.layers_per_block - 1:
+                        h = iq_pop_if_match(h)
                 skips.append(ctrl(h))
             if bi < len(c.down_block_types) - 1:
                 h = Downsample(out_ch, name=f"down_{bi}_downsample")(h)
+                if not is_cross:
+                    # DownBlock2D: shape-gated pop after the block
+                    h = iq_pop_if_match(h)
                 skips.append(ctrl(h))
 
         # mid
@@ -535,17 +626,15 @@ class UNet2DCondition(nn.Module):
         key = next_ref()
         rh = (ref_hidden or {}).get(key)
         h, wr = SpatialTransformer(
-            mid_ch, heads, dim_head, c.cross_attention_dim,
-            norm_groups=c.norm_groups, mv_views=c.mv_views,
-            cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
-                        use_ma=c.use_ma, use_ra=c.use_ra,
-                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
-            ip_dim=c.ip_dim, ip_weight=c.ip_weight,
+            mid_ch, heads, dim_head,
+            **st_kwargs(c.depth_of(len(c.block_out_channels) - 1)),
             name="mid_attn")(
             h, encoder_hidden_states, ref_mode=ref_mode, ref_hidden=rh)
         if ref_mode == "write":
             written[key] = wr
         h = ResnetBlock(mid_ch, c.norm_groups, name="mid_res_1")(h, temb)
+        # T2I-Adapter-XL: last queued feature lands after the mid block
+        h = iq_pop_if_match(h)
         if mid_residual is not None:
             h = h + mid_residual
         if pose_hook is not None:
@@ -561,6 +650,7 @@ class UNet2DCondition(nn.Module):
 
         # up
         rev_channels = list(reversed(c.block_out_channels))
+        n_blocks = len(c.up_block_types)
         for bi, btype in enumerate(c.up_block_types):
             out_ch = rev_channels[bi]
             for li in range(c.layers_per_block + 1):
@@ -573,12 +663,8 @@ class UNet2DCondition(nn.Module):
                     key = next_ref()
                     rh = (ref_hidden or {}).get(key)
                     h, wr = SpatialTransformer(
-                        out_ch, heads, dim_head, c.cross_attention_dim,
-                        norm_groups=c.norm_groups, mv_views=c.mv_views,
-                        cd_joint=c.cd_joint, mv_rowwise=c.mv_rowwise,
-                        use_ma=c.use_ma, use_ra=c.use_ra,
-                        mva_scale=c.mva_scale, ref_scale=c.ref_scale,
-                        ip_dim=c.ip_dim, ip_weight=c.ip_weight,
+                        out_ch, heads, dim_head,
+                        **st_kwargs(c.depth_of(n_blocks - 1 - bi)),
                         name=f"up_{bi}_attn_{li}")(
                         h, encoder_hidden_states, ref_mode=ref_mode,
                         ref_hidden=rh)

@@ -1,15 +1,32 @@
 """Hunyuan3D-V1 SVRM: multi-view images → NeuS triplane → mesh.
 
-Counterpart of `Gen_3D_Modules/Hunyuan3D_V1/svrm/ldm/models/
-svrm.py:110-184` + `Configs/Hunyuan3D_V1_svrm_config.yaml`: camera-
-conditioned DINOv2 tokens from each view → 64² learned triplane tokens
-through a 16-layer cross-attention transformer → two 2× upsamples to
-256² 120-channel planes → SDF + color queries (NeuS synthesizer role) →
-marching cubes at sdf 0. The views→mesh node path (`Views2Mesh`,
-`infer/views_to_mesh.py:37`).
+Checkpoint-faithful port of `Gen_3D_Modules/Hunyuan3D_V1/svrm/ldm/
+models/svrm.py:110-190` (`SVRMModel.generate_mesh`) with the module set
+fixed by `Configs/Hunyuan3D_V1_svrm_config.yaml`:
+
+* `img_encoder` — `FrozenDinoV2ImageEmbedder` (encoders/dinov2_mod.py:
+  23-67): OFFICIAL-layout DINOv2 ViT-B/14 whose every LayerNorm is an
+  `AdaNorm` (attention.py:365-377: affine-free LN modulated by
+  shift/scale from SiLU→Linear over a camera embedding; cam_embed =
+  Linear-SiLU-Linear on the 20-dim camera row,
+  vision_transformer.py:108-111). Output = normed [cls, patches].
+* `img_to_triplane_decoder` — `ImgToTriplaneModel`
+  (translator/img_to_triplane.py:39-127): learned pos_emb
+  [3·64², 1024]; 16 `BasicTransformerBlockLRM` blocks (attention.py:
+  380-412 — attn1 is CROSS to the image tokens, attn2 is SELF, GEGLU
+  ff); final LayerNorm; linear pixel-shuffle upsampler
+  Linear(1024 → 120·4²) → 256² 120-channel planes.
+* `render` — `TriplaneSynthesizer`/`OSGDecoder` (rendering_neus/
+  synthesizer.py:19-117): EG3D plane sampling (renderer.py:28-76 —
+  planes index (x,y), (x,z), (z,y); box_warp 1.2 →
+  u = coords / 0.6; F.grid_sample align_corners=False) → concat →
+  Linear(360, 64) ReLU Linear(64, 4); sdf = x[0] (the shifted-sdf is
+  commented out in the reference), rgb = sigmoid(x[1:])·1.002 − 0.001.
+* mesh: mcubes on (0 − sdf) at iso 0 over aabb ±0.6 (svrm.py:166-170)
+  → our marching tets; vertex colors via `forward_points`.
 
 The in-tree CUDA ops this replaces: the double-backward grid_sample
-(`third_party/ops/grid_sample.cu`) is `grid_sample_2d` (jax AD gives
+(`third_party/ops/grid_sample.cu`) is `ops.grid_sample` (jax AD gives
 higher-order grads for free), bias_act is a plain XLA fusion.
 """
 
@@ -24,8 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import tetra
-from ..common import Transformer1D
-from ..dinov2 import Dinov2, Dinov2Config, IMAGENET_MEAN, IMAGENET_STD
+from ..dinov2 import IMAGENET_MEAN, IMAGENET_STD
 from ..triposr.model import grid_sample_2d
 
 
@@ -40,18 +56,127 @@ class SVRMConfig:
     depth: int = 16
     context_dim: int = 768
     triplane_dim: int = 120
-    upsample_time: int = 2
+    upsample_ratio: int = 4
     mlp_hidden: int = 64
-    radius: float = 0.6
-    cond: Dinov2Config = Dinov2Config(hidden=768, layers=12, heads=12)
+    radius: float = 0.6              # aabb ±0.6, box_warp 1.2
+    # DINOv2 ViT-B/14 (dinov2_vitb14)
+    vit_hidden: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_mlp_ratio: int = 4
+    patch: int = 14
+    pretrain_image_size: int = 518
 
     @classmethod
     def tiny(cls) -> "SVRMConfig":
         return cls(cond_size=28, pos_emb_size=8, pos_emb_dim=32,
-                   heads=2, head_dim=16, depth=1, context_dim=32,
-                   triplane_dim=8, upsample_time=1, mlp_hidden=16,
-                   cond=Dinov2Config(hidden=32, layers=1, heads=2,
-                                     patch=14, pretrain_image_size=28))
+                   heads=2, head_dim=16, depth=1, context_dim=24,
+                   triplane_dim=8, upsample_ratio=2, mlp_hidden=16,
+                   vit_hidden=24, vit_layers=1, vit_heads=2,
+                   pretrain_image_size=28)
+
+
+class AdaNorm(nn.Module):
+    """attention.py:365-377 — affine-free LN + shift/scale from the
+    camera embedding (SHIFT first chunk)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        emb = nn.Dense(2 * self.dim, name="mod")(nn.silu(c))
+        shift, scale = jnp.split(emb, 2, axis=-1)
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        return h * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class _DinoBlockMod(nn.Module):
+    """Official dinov2 Block with AdaNorm norms + LayerScale
+    (dinov2/layers/block.py:45-118)."""
+    dim: int
+    heads: int
+    mlp_ratio: int
+
+    @nn.compact
+    def __call__(self, x, cam_emb):
+        hd = self.dim // self.heads
+        h = AdaNorm(self.dim, name="norm1")(x, cam_emb)
+        qkv = nn.Dense(3 * self.dim, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t, _ = h.shape
+        q = q.reshape(b, t, self.heads, hd)
+        k = k.reshape(b, t, self.heads, hd)
+        v = v.reshape(b, t, self.heads, hd)
+        o = jax.nn.dot_product_attention(q, k, v).reshape(b, t, self.dim)
+        o = nn.Dense(self.dim, name="proj")(o)
+        gamma1 = self.param("ls1_gamma", nn.initializers.ones,
+                            (self.dim,))
+        x = x + o * gamma1
+        h = AdaNorm(self.dim, name="norm2")(x, cam_emb)
+        h = nn.Dense(self.dim * self.mlp_ratio, name="fc1")(h)
+        h = nn.Dense(self.dim, name="fc2")(nn.gelu(h))
+        gamma2 = self.param("ls2_gamma", nn.initializers.ones,
+                            (self.dim,))
+        return x + h * gamma2
+
+
+class _DinoV2Cam(nn.Module):
+    """Camera-modulated official DINOv2 (dinov2_mod lineage)."""
+    cfg: SVRMConfig
+
+    @nn.compact
+    def __call__(self, images, cams):
+        c = self.cfg
+        b, hh, ww, _ = images.shape
+        gh, gw = hh // c.patch, ww // c.patch
+        cam = nn.Dense(c.vit_hidden, name="cam_1")(cams)
+        cam = nn.Dense(c.vit_hidden, name="cam_2")(nn.silu(cam))
+        x = nn.Conv(c.vit_hidden, (c.patch, c.patch),
+                    strides=(c.patch, c.patch), padding="VALID",
+                    name="patch_embed")(images)
+        x = x.reshape(b, gh * gw, c.vit_hidden)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, c.vit_hidden))
+        grid0 = c.pretrain_image_size // c.patch
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, grid0 ** 2 + 1, c.vit_hidden))
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != (grid0, grid0):
+            grid = pos_patch.reshape(1, grid0, grid0, c.vit_hidden)
+            grid = jax.image.resize(grid, (1, gh, gw, c.vit_hidden),
+                                    "bicubic")
+            pos_patch = grid.reshape(1, gh * gw, c.vit_hidden)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, c.vit_hidden)), x], axis=1)
+        x = x + jnp.concatenate([pos_cls, pos_patch], axis=1)
+        for i in range(c.vit_layers):
+            x = _DinoBlockMod(c.vit_hidden, c.vit_heads,
+                              c.vit_mlp_ratio,
+                              name=f"block_{i}")(x, cam)
+        return AdaNorm(c.vit_hidden, name="norm")(x, cam)
+
+
+class _LRMBlock(nn.Module):
+    """BasicTransformerBlockLRM (attention.py:380-412): attn1 = CROSS
+    attention to the image tokens, attn2 = SELF attention, GEGLU ff."""
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        from ..diffusion.unet import CrossAttention
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               self.context_dim,
+                               name="attn1")(h, context=context)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               name="attn2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        from ..common import GEGLU
+        h = GEGLU(self.dim * 4, name="ff_net_0")(h)
+        return x + nn.Dense(self.dim, name="ff_net_2")(h)
 
 
 class SVRMModel(nn.Module):
@@ -59,61 +184,53 @@ class SVRMModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.img_encoder = Dinov2(c.cond, name="img_encoder")
-        self.cam_embed = nn.Dense(c.context_dim, name="cam_embed")
-        self.img_proj = nn.Dense(c.context_dim, name="img_proj")
-        self.triplane_tokens = self.param(
-            "triplane_tokens", nn.initializers.normal(0.02),
-            (3, c.pos_emb_size, c.pos_emb_size, c.pos_emb_dim))
-        self.backbone = Transformer1D(
-            in_channels=c.pos_emb_dim, num_layers=c.depth,
-            heads=c.heads, dim_head=c.head_dim,
-            cross_attention_dim=c.context_dim, name="backbone")
-        ups = []
-        for i in range(c.upsample_time):
-            out_ch = (c.triplane_dim if i == c.upsample_time - 1
-                      else c.pos_emb_dim)
-            ups.append(nn.ConvTranspose(out_ch, (2, 2), strides=(2, 2),
-                                        name=f"upsample_{i}"))
-        self.upsamplers = ups
-        h = c.mlp_hidden
-        self.sdf_0 = nn.Dense(h, name="sdf_0")
-        self.sdf_1 = nn.Dense(1, name="sdf_1")
-        self.rgb_0 = nn.Dense(h, name="rgb_0")
-        self.rgb_1 = nn.Dense(3, name="rgb_1")
+        self.img_encoder = _DinoV2Cam(c, name="img_encoder")
+        self.pos_emb = self.param(
+            "pos_emb", nn.initializers.zeros,
+            (1, 3 * c.pos_emb_size ** 2, c.pos_emb_dim))
+        self.blocks = [
+            _LRMBlock(c.pos_emb_dim, c.heads, c.head_dim,
+                      c.context_dim, name=f"block_{i}")
+            for i in range(c.depth)]
+        self.final_norm = nn.LayerNorm(epsilon=1e-6, name="final_norm")
+        self.upsampler = nn.Dense(
+            c.triplane_dim * c.upsample_ratio ** 2, name="upsampler")
+        self.net_0 = nn.Dense(c.mlp_hidden, name="net_0")
+        self.net_2 = nn.Dense(4, name="net_2")
 
     def __call__(self, views, cams):
-        """views [V, S, S, 3] in [0,1]; cams [V, cam_cond_dim] →
-        triplanes [3, H, W, triplane_dim]."""
+        """views [V, S, S, 3] in [0,1]; cams [V, 20] →
+        triplanes [3, P·r, P·r, triplane_dim]."""
         c = self.cfg
-        v = views.shape[0]
         img = (views - IMAGENET_MEAN) / IMAGENET_STD
-        tokens = self.img_proj(self.img_encoder(img))   # [V, L, ctx]
-        cam_tok = self.cam_embed(cams)[:, None, :]
-        tokens = jnp.concatenate([cam_tok, tokens], axis=1)
-        tokens = tokens.reshape(1, -1, c.context_dim)   # concat views
+        tokens = self.img_encoder(img, cams)        # [V, 1+N, 768]
+        tokens = tokens.reshape(1, -1, c.context_dim)
 
-        planes = self.triplane_tokens[None]
-        seq = planes.reshape(1, 3 * c.pos_emb_size ** 2, c.pos_emb_dim)
-        seq = seq.transpose(0, 2, 1)
-        seq = self.backbone(seq, context=tokens)
-        planes = seq.transpose(0, 2, 1).reshape(
-            3, c.pos_emb_size, c.pos_emb_size, c.pos_emb_dim)
-        for up in self.upsamplers:
-            planes = nn.silu(up(planes)) if up is not self.upsamplers[-1] \
-                else up(planes)
-        return planes
+        h = self.pos_emb
+        for blk in self.blocks:
+            h = blk(h, tokens)
+        h = self.final_norm(h)
+        p = c.pos_emb_size
+        h = h.reshape(3, p, p, c.pos_emb_dim)
+        h = self.upsampler(h)                       # [3, p, p, td·r²]
+        r = c.upsample_ratio
+        h = h.reshape(3, p, p, c.triplane_dim, r, r)
+        h = h.transpose(0, 1, 4, 2, 5, 3)           # [3, p, r, p, r, td]
+        return h.reshape(3, p * r, p * r, c.triplane_dim)
 
     def query(self, planes, pts):
-        """planes [3, H, W, C]; pts [N, 3] → (sdf [N], rgb [N, 3])."""
+        """planes [3, H, W, C]; pts [N, 3] → (sdf [N], rgb [N, 3]).
+        EG3D plane projection (renderer.py:28-60): (x,y), (x,z), (z,y);
+        u = pts · (2 / box_warp) with box_warp = 2·radius."""
         c = self.cfg
         u = pts / c.radius
-        f_xy = grid_sample_2d(planes[0], u[:, (0, 1)])
-        f_xz = grid_sample_2d(planes[1], u[:, (0, 2)])
-        f_yz = grid_sample_2d(planes[2], u[:, (1, 2)])
-        feat = jnp.concatenate([f_xy, f_xz, f_yz], -1)
-        sdf = self.sdf_1(nn.silu(self.sdf_0(feat)))[:, 0]
-        rgb = jax.nn.sigmoid(self.rgb_1(nn.silu(self.rgb_0(feat))))
+        f0 = grid_sample_2d(planes[0], u[:, (0, 1)])
+        f1 = grid_sample_2d(planes[1], u[:, (0, 2)])
+        f2 = grid_sample_2d(planes[2], u[:, (2, 1)])
+        feat = jnp.concatenate([f0, f1, f2], -1)
+        x = self.net_2(nn.relu(self.net_0(feat)))
+        sdf = x[:, 0]
+        rgb = jax.nn.sigmoid(x[:, 1:]) * (1 + 2 * 0.001) - 0.001
         return sdf, rgb
 
     def init_all(self, views, cams, pts):
@@ -134,7 +251,8 @@ class SVRMPipeline:
                     ) -> "SVRMPipeline":
         cfg = cfg or SVRMConfig()
         key = key if key is not None else jax.random.PRNGKey(0)
-        s = cfg.cond_size
+        # tiny spatial probe: ViT pos embeddings interpolate
+        s = min(cfg.cond_size, 28)
         params = SVRMModel(cfg).init(
             key, jnp.zeros((2, s, s, 3)),
             jnp.zeros((2, cfg.cam_cond_dim)), jnp.zeros((5, 3)),
@@ -180,7 +298,7 @@ class SVRMPipeline:
                 jnp.asarray(pts[i:i + chunk]))[0]))
         grid = np.concatenate(sdfs).reshape(mesh_size, mesh_size,
                                             mesh_size)
-        # mcubes on (0 - sdf): inside where sdf < 0
+        # mcubes on (0 - sdf): inside where sdf < 0 (svrm.py:166)
         mesh = tetra.extract_isosurface(-grid, iso=0.0,
                                         bounds=(-c.radius, c.radius))
         if target_faces is not None and len(mesh.f) > target_faces:

@@ -371,13 +371,30 @@ class Load_Hunyuan3D_V1_Reconstruction_Model:
 
     def load_model(self, force_download=False, use_lite=True):
         import dataclasses as _dc
+        import os
+
         from ..models.hunyuan3d_v1 import SVRMConfig, SVRMPipeline
-        cfg = SVRMConfig()
-        if use_lite:
-            cfg = _dc.replace(cfg, depth=8, pos_emb_dim=768, heads=12)
-        print("[Load_Hunyuan3D_V1_Reconstruction_Model] initializing "
-              "random weights (no local svrm checkpoint)")
-        pipe = SVRMPipeline.init_random(cfg=cfg)
+        sub = "svrm-lite/svrm.safetensors" if use_lite \
+            else "svrm/svrm.safetensors"
+        ckpt = os.path.join(base.CKPT_ROOT_PATH, "Diffusers", "tencent",
+                            "Hunyuan3D-1", *sub.split("/"))
+        if not os.path.exists(ckpt) and use_lite:
+            ckpt = os.path.join(base.CKPT_ROOT_PATH, "Diffusers",
+                                "tencent", "Hunyuan3D-1", "svrm",
+                                "svrm.safetensors")
+        if os.path.exists(ckpt):
+            from ..models.hunyuan3d_v1.convert import \
+                load_svrm_checkpoint
+            pipe = load_svrm_checkpoint(ckpt)
+        else:
+            print("[Load_Hunyuan3D_V1_Reconstruction_Model] no local "
+                  f"svrm checkpoint at {ckpt} — initializing random "
+                  "weights")
+            cfg = SVRMConfig()
+            if use_lite:
+                cfg = _dc.replace(cfg, depth=8, pos_emb_dim=768,
+                                  heads=12)
+            pipe = SVRMPipeline.init_random(cfg=cfg)
         pipe.use_lite = bool(use_lite)
         return (maybe_shard(pipe),)
 

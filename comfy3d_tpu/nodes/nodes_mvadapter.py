@@ -16,6 +16,44 @@ def _load_mesh(mesh_path):
     return Mesh.load(mesh_path).auto_size().auto_normal()
 
 
+def _load_or_random(kind: str, base_model: str, num_views: int,
+                    node_name: str):
+    """Local-first loading (reference prepare_pipeline,
+    mvadapter_node_utils.py:37-120): SDXL base from
+    Checkpoints/Diffusers/<base_model>, adapter safetensors from
+    Checkpoints/MV-Adapter/."""
+    import dataclasses as dc
+
+    from . import base
+    from ..models.mvadapter import MVAdapterConfig
+    base_dir = os.path.join(base.CKPT_ROOT_PATH, "Diffusers",
+                            *(base_model or
+                              "stabilityai/stable-diffusion-xl-base-1.0"
+                              ).split("/"))
+    adapter = os.path.join(base.CKPT_ROOT_PATH, "MV-Adapter",
+                           f"mvadapter_{kind}_sdxl.safetensors")
+    if os.path.isdir(os.path.join(base_dir, "unet")) and \
+            os.path.exists(adapter):
+        from ..models.mvadapter.convert import load_mvadapter_pipeline
+        return load_mvadapter_pipeline(kind, base_dir, adapter,
+                                       num_views=num_views)
+    print(f"[{node_name}] no local SDXL base under {base_dir} or "
+          f"adapter at {adapter} — initializing random weights")
+    from ..models.mvadapter import (MVAdapterIG2MVPipeline,
+                                    MVAdapterTG2MVPipeline)
+    cfg = MVAdapterConfig()
+    if num_views != cfg.num_views:
+        azims = tuple(float(a) for a in
+                      np.linspace(0, 360, num_views, endpoint=False))
+        cfg = dc.replace(
+            cfg, num_views=int(num_views), camera_azims=azims,
+            camera_elevs=(0.0,) * int(num_views),
+            unet=dc.replace(cfg.unet, mv_views=int(num_views)))
+    cls = (MVAdapterIG2MVPipeline if kind == "ig2mv"
+           else MVAdapterTG2MVPipeline)
+    return cls.init_random(cfg=cfg)
+
+
 def _views_to_grid(views):
     """[V, S, S, 3] → one row-major grid image [H, W, 3] (3 cols)."""
     v, s = views.shape[0], views.shape[1]
@@ -56,20 +94,9 @@ class Load_MVAdapter_IG2MV_Pipeline:
     def load(self, base_model="", vae_model="", adapter_path="",
              scheduler="ddpm", num_views=6, use_fp16=True,
              use_mmgp=True, lora_model=""):
-        import dataclasses as dc
-        from ..models.mvadapter import (MVAdapterConfig,
-                                        MVAdapterIG2MVPipeline)
-        cfg = MVAdapterConfig()
-        if num_views != cfg.num_views:
-            azims = tuple(float(a) for a in
-                          np.linspace(0, 360, num_views, endpoint=False))
-            cfg = dc.replace(
-                cfg, num_views=int(num_views), camera_azims=azims,
-                camera_elevs=(0.0,) * int(num_views),
-                unet=dc.replace(cfg.unet, mv_views=int(num_views)))
-        print("[Load_MVAdapter_IG2MV_Pipeline] initializing random "
-              "weights (no local adapter checkpoint)")
-        return (maybe_shard(MVAdapterIG2MVPipeline.init_random(cfg=cfg)),)
+        return (maybe_shard(_load_or_random(
+            "ig2mv", base_model, int(num_views),
+            self.__class__.__name__)),)
 
 
 @register
@@ -150,20 +177,9 @@ class Load_MVAdapter_TG2MV_Pipeline:
     def load(self, base_model="", vae_model="", adapter_path="",
              scheduler="ddpm", num_views=6, use_fp16=True,
              use_mmgp=False, lora_model=""):
-        import dataclasses as dc
-        from ..models.mvadapter import (MVAdapterConfig,
-                                        MVAdapterTG2MVPipeline)
-        cfg = MVAdapterConfig()
-        if num_views != cfg.num_views:
-            azims = tuple(float(a) for a in
-                          np.linspace(0, 360, num_views, endpoint=False))
-            cfg = dc.replace(
-                cfg, num_views=int(num_views), camera_azims=azims,
-                camera_elevs=(0.0,) * int(num_views),
-                unet=dc.replace(cfg.unet, mv_views=int(num_views)))
-        print("[Load_MVAdapter_TG2MV_Pipeline] initializing random "
-              "weights (no local adapter checkpoint)")
-        return (maybe_shard(MVAdapterTG2MVPipeline.init_random(cfg=cfg)),)
+        return (maybe_shard(_load_or_random(
+            "tg2mv", base_model, int(num_views),
+            self.__class__.__name__)),)
 
 
 @register

@@ -328,11 +328,20 @@ class Load_Hunyuan3D_21_TexGen_Pipeline:
         import os
         from ..models.hunyuan3d import Hunyuan3DPaintPipeline
         from ..models.hunyuan3d.paint import PaintConfig
-        cfg = dataclasses.replace(PaintConfig(),
-                                  pbr_settings=("albedo", "mr"))
-        print("[Load_Hunyuan3D_21_TexGen_Pipeline] initializing random "
-              "weights (no local PBR paint checkpoint)")
-        pipe = Hunyuan3DPaintPipeline.init_random(cfg=cfg)
+        model_dir = os.path.join(base.CKPT_ROOT_PATH, "Diffusers",
+                                 "tencent", "Hunyuan3D-2.1",
+                                 "hunyuan3d-paintpbr-v2-1")
+        if os.path.isdir(os.path.join(model_dir, "unet")):
+            from ..models.hunyuan3d.paint_convert import \
+                load_paint_checkpoint
+            pipe = load_paint_checkpoint(model_dir, pbr=True)
+        else:
+            cfg = dataclasses.replace(PaintConfig(),
+                                      pbr_settings=("albedo", "mr"))
+            print("[Load_Hunyuan3D_21_TexGen_Pipeline] no local PBR "
+                  f"paint checkpoint under {model_dir} — initializing "
+                  "random weights")
+            pipe = Hunyuan3DPaintPipeline.init_random(cfg=cfg)
         pipe.default_steps = 8 if model_variant == "Turbo" else 25
         sr_dir = os.path.join(base.CKPT_ROOT_PATH, "RealESRGAN")
         sr_ckpt = os.path.join(sr_dir, "RealESRGAN_x4plus.pth")

@@ -37,7 +37,8 @@ def enumerate_unet_keys(down_block_types, up_block_types,
                         layers_per_block=2, use_linear_projection=True,
                         transformer_layers_per_block=1,
                         cd_joint=False, mv_rowwise=False,
-                        hunyuan_2p5d=False):
+                        hunyuan_2p5d=False, sdxl_add_embed=False,
+                        mv_decoupled=False):
     """Key layout of diffusers UNet2DConditionModel state dicts
     (the layout `models.diffusion.convert.unet_rules` consumes).
     `cd_joint` adds Wonder3D's per-transformer-block cross-domain
@@ -47,12 +48,25 @@ def enumerate_unet_keys(down_block_types, up_block_types,
     under an extra `.transformer.` segment plus sibling attn_multiview /
     attn_refview attentions; "dual" = the write-stream copy, which is
     wrapped (same nesting) but carries no extra attentions
-    (modules.py:415-418 wraps with use_ma=use_ra=False)."""
+    (modules.py:415-418 wraps with use_ma=use_ra=False).
+    `sdxl_add_embed` adds SDXL's text_time add_embedding;
+    `transformer_layers_per_block` may be a per-block tuple (SDXL);
+    `mv_decoupled` ∈ {False, "mv", "mv+ref"} adds MV-Adapter's
+    decoupled attn1.processor projections."""
     keys = []
     proj_kind = "linear" if use_linear_projection else "conv1x1"
     _wb("conv_in", "conv", keys)
     _wb("time_embedding.linear_1", "linear", keys)
     _wb("time_embedding.linear_2", "linear", keys)
+    if sdxl_add_embed:
+        _wb("add_embedding.linear_1", "linear", keys)
+        _wb("add_embedding.linear_2", "linear", keys)
+
+    def depth_of(block_index):
+        d = transformer_layers_per_block
+        if isinstance(d, (tuple, list)):
+            return d[block_index] if block_index < len(d) else d[-1]
+        return d
 
     def resnet(base, shortcut):
         _wb(base + ".norm1", "raw", keys)
@@ -63,10 +77,10 @@ def enumerate_unet_keys(down_block_types, up_block_types,
         if shortcut:
             _wb(base + ".conv_shortcut", "conv1x1", keys)
 
-    def attention(base):
+    def attention(base, depth=1):
         _wb(base + ".norm", "raw", keys)
         _wb(base + ".proj_in", proj_kind, keys)
-        for k in range(transformer_layers_per_block):
+        for k in range(depth):
             tb = f"{base}.transformer_blocks.{k}"
             inner = tb + (".transformer" if hunyuan_2p5d else "")
             for a in ("attn1", "attn2"):
@@ -83,6 +97,16 @@ def enumerate_unet_keys(down_block_types, up_block_types,
                     for p in ("to_q", "to_k", "to_v"):
                         keys.append((f"{tb}.{a}.{p}.weight", "linear"))
                     _wb(f"{tb}.{a}.to_out.0", "linear", keys)
+            if mv_decoupled:
+                suffixes = ("mv", "ref") if mv_decoupled == "mv+ref" \
+                    else ("mv",)
+                for sfx in suffixes:
+                    for p in ("to_q", "to_k", "to_v"):
+                        keys.append((
+                            f"{tb}.attn1.processor.{p}_{sfx}.weight",
+                            "linear"))
+                    _wb(f"{tb}.attn1.processor.to_out_{sfx}.0",
+                        "linear", keys)
             if cd_joint and not mv_rowwise:
                 for p in ("to_q", "to_k", "to_v"):
                     keys.append((f"{tb}.attn_joint_mid.{p}.weight",
@@ -105,12 +129,13 @@ def enumerate_unet_keys(down_block_types, up_block_types,
             # shortcut only where the first resnet changes channels
             resnet(f"down_blocks.{i}.resnets.{j}", ch_change and j == 0)
             if "CrossAttn" in bt:
-                attention(f"down_blocks.{i}.attentions.{j}")
+                attention(f"down_blocks.{i}.attentions.{j}",
+                          depth_of(i))
         if i < n - 1:
             _wb(f"down_blocks.{i}.downsamplers.0.conv", "conv", keys)
 
     resnet("mid_block.resnets.0", False)
-    attention("mid_block.attentions.0")
+    attention("mid_block.attentions.0", depth_of(n - 1))
     resnet("mid_block.resnets.1", False)
 
     for i, bt in enumerate(up_block_types):
@@ -118,7 +143,8 @@ def enumerate_unet_keys(down_block_types, up_block_types,
             # every up resnet concatenates a skip -> always a shortcut
             resnet(f"up_blocks.{i}.resnets.{j}", True)
             if "CrossAttn" in bt:
-                attention(f"up_blocks.{i}.attentions.{j}")
+                attention(f"up_blocks.{i}.attentions.{j}",
+                          depth_of(n - 1 - i))
         if i < n - 1:
             _wb(f"up_blocks.{i}.upsamplers.0.conv", "conv", keys)
 

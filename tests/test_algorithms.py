@@ -1,6 +1,12 @@
 """Optimizer tests: diff-mesh fitting, Instant-NGP fitting, SDF fitting.
 Each uses a tiny synthetic scene and asserts measurable convergence."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,11 @@
 """CharacterGen 2D + LRM tests (tiny configs)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import dataclasses as dc
 
 import numpy as np

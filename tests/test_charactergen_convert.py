@@ -9,6 +9,12 @@ Reference layout: `CharacterGen/character_inference.py:103-127`
 `2D_Stage/models/image_encoder` CLIPVisionModelWithProjection).
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import dataclasses as dc
 import os
 

@@ -1,6 +1,12 @@
 """Multi-view color projection tests (Unique3D project_mesh /
 Hunyuan bake_from_multiview role)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

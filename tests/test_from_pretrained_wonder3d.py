@@ -7,6 +7,12 @@ key bijection + a 2-step run. Layout cross-checked against
 `/root/reference/Checkpoints/Diffusers/flamehaze1115/wonder3d-v1.0`
 config skeletons and `Wonder3D/models/unet_mv2d_condition.py`."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import os
 
 import numpy as np

@@ -10,6 +10,12 @@ vision-encoder conditioning + ramping active, matching the composition
 of the reference `Zero123PlusPipeline` (`Zero123Plus/pipeline.py:
 272-430`)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 

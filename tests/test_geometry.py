@@ -1,6 +1,12 @@
 """Geometry long-tail tests: surface sampling, FFT Poisson
 reconstruction, boundary-loop hole filling."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

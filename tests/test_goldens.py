@@ -7,6 +7,12 @@ against a committed golden PNG with a PSNR gate. Regenerate after an
 intentional change with COMFY3D_REGEN_GOLDENS=1 (the diff then shows in
 review exactly like the reference's example outputs would)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import os
 
 import numpy as np

@@ -1,6 +1,12 @@
 """3DGS renderer tests: forward parity vs a naive compositor, custom-VJP
 gradient parity vs autodiff through the naive path, and API behavior."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

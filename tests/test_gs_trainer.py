@@ -1,6 +1,12 @@
 """3DGS trainer tests: loss descent on a synthetic scene, densify/prune
 slot mechanics, opacity reset, LR schedule."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import dataclasses
 
 import jax

@@ -5,6 +5,12 @@ reference volume_decoders.py:185-280 role) must reproduce the dense
 grid exactly in the refined band around the iso surface and produce an
 equivalent extracted mesh while issuing far fewer queries."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 
 import jax.numpy as jnp

@@ -2,6 +2,12 @@
 reference scheduler, tiny-config end-to-end sampling (CFG + distilled),
 and the reference `Hunyuan3D_V2.json` workflow running headlessly."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 

@@ -1,5 +1,11 @@
 """Tests for tetra (surface extraction), hashgrid, raymarch, ssim, knn."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

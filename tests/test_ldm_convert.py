@@ -11,6 +11,12 @@ Oracles:
   `cond_stage_model.model.*` text/visual rules.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -2,6 +2,12 @@
 ViTModel through the weight converter (the per-layer diff harness SURVEY.md
 §7 hard-part #5 calls for), plus TripoSR system shape/behavior tests."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import jax
 import jax.numpy as jnp

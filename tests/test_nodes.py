@@ -115,6 +115,7 @@ class TestIndividualNodes:
 
 
 class TestWorkflowExecutor:
+    @pytest.mark.heavy
     def test_runs_reference_triposr_workflow(self, io_dirs):
         """The actual reference example workflow JSON, with sizes dialed
         down and the real KungFuCat input swapped for a synthetic one."""
@@ -212,6 +213,7 @@ class TestWorkflowExecutor:
 
 
 class TestFittingNodes:
+    @pytest.mark.heavy
     def test_fitting_mesh_node(self, io_dirs):
         """DiffRastMesh node: auto-unwrap + short fit run end-to-end."""
         from tests.test_algorithms import icosphere

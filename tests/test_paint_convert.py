@@ -8,6 +8,12 @@ modules.py:404-456` (UNet2p5DConditionModel: `unet.` gen stream with
 write stream, class_embedding, learned_text_clip_{gen,ref}).
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import dataclasses as dc
 import os
 

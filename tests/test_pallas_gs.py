@@ -1,6 +1,12 @@
 """Pallas GS tile kernel parity vs the XLA backend (interpret mode on CPU:
 same kernel code the TPU compiles, executed by the Pallas interpreter)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

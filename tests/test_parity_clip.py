@@ -1,6 +1,12 @@
 """CLIP text/vision encoder parity vs transformers' torch CLIP (the
 conditioning oracle for Zero123Plus / MVDream)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

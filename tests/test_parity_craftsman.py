@@ -8,6 +8,12 @@ michelangelo_autoencoder.py:179) and `ConditionalCLIPVisionModel`
 configs, converts the randomly-initialized Lightning-style state dict
 through models/craftsman/convert.py, and compares outputs."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,12 @@
 """Dinov2 flax encoder parity vs transformers' torch Dinov2Model (the
 conditioner oracle for Hunyuan3D / TRELLIS / TripoSG pipelines)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

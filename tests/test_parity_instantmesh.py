@@ -8,6 +8,12 @@ Chains the reference's actual adaLN DINO fork
 asserts our flax InstantMesh reproduces planes + field queries.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

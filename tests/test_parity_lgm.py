@@ -7,6 +7,12 @@ the state dict with `models.lgm.convert`, and asserts our flax LGMUNet
 reproduces the 14-channel splat map.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

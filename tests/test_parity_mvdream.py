@@ -9,6 +9,12 @@ flax substrate reproduces the torch forward output — multiview 3D
 self-attention, IP-adapter cross attention, camera conditioning, and
 the pinned extra-view frame included."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

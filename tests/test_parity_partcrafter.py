@@ -8,6 +8,12 @@ embeddings are 0..P-1 in both frameworks), converts through
 models/partcrafter/convert.py, and compares the velocity field. The
 VAE is the TripoSG layout and is covered by test_parity_triposg."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

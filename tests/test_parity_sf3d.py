@@ -9,6 +9,12 @@ backbone, pixel-shuffle post-processor, triplane query + MaterialMLP,
 and the Beta-head image estimator.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

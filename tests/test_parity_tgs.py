@@ -11,6 +11,12 @@ A full fabricated-layout bijection test asserts `convert_tgs` maps a
 complete reference-shaped state dict onto the exact init_random tree.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -9,6 +9,12 @@ including the head-major qkv re-split quirk of
 TripoSGAttnProcessor2_0 (attention_processor.py:244-255) and the
 skip_norm_last UNet-skip path."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -8,6 +8,12 @@ TriplaneUpsampleNetwork, NeRFMLP, TriplaneNeRFRenderer) chained exactly as
 scene-code forward and the triplane field query.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

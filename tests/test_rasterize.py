@@ -1,6 +1,12 @@
 """Rasterizer tests: coverage, depth ordering, binned-vs-bruteforce parity,
 gradients, texture sampling, soft silhouette."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -148,6 +148,7 @@ def dataclasses_replace(cfg, **kw):
 
 
 class TestSF3DRemeshOption:
+    @pytest.mark.heavy
     def test_triangle_remesh_changes_output(self):
         from comfy3d_tpu.models.sf3d import SF3DConfig, SF3DPipeline
 

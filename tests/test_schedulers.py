@@ -108,6 +108,7 @@ def _tiny_wonder3d():
     return Wonder3DPipeline.init_random(cfg=cfg), cfg
 
 
+@pytest.mark.heavy
 def test_scheduler_swap_changes_pipeline_output():
     """End-to-end dispatch: Set_Diffusers_Pipeline_Scheduler must alter
     sampling (VERDICT r2 weak #4: the node used to be cosmetic)."""
@@ -127,6 +128,7 @@ def test_scheduler_swap_changes_pipeline_output():
         "scheduler swap had no effect on sampling"
 
 
+@pytest.mark.heavy
 def test_kdpm2_runs_through_pipeline():
     """The 2nd-order aux path must execute inside a jitted pipeline."""
     pipe, cfg = _tiny_wonder3d()

@@ -8,6 +8,12 @@ method produces a model pipeline, the method body must mention
 function-returning utility loaders are exempt and listed explicitly.
 """
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import ast
 import os
 

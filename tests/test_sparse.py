@@ -2,6 +2,12 @@
 SURVEY.md §2.6 E3). Submanifold conv, down/upsample inversion,
 subdivision, masked + windowed attention."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,12 @@
 """Texture pipeline tests: box unwrap, UV rasterization, baking,
 GS→mesh conversion smoke."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,12 @@
 """Mip-chain texture sampling + antialias tests (nvdiffrast dr.texture /
 dr.antialias parity roles, VERDICT round-1 item #8)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

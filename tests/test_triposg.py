@@ -1,6 +1,12 @@
 """TripoSG pipeline tests (tiny config): UNet-skip DiT + flow sampling
 -> vecset decode -> mesh."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 import pytest
 

@@ -5,6 +5,12 @@ developable chart (angles preserved), and a bake-reconstruction error
 that beats the box-projection unwrap on a sphere (VERDICT item 7's
 acceptance: no seam tears vs the box output)."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import numpy as np
 
 import jax.numpy as jnp

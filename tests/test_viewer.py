@@ -7,6 +7,12 @@ framework's own GaussianSplat semantics — catching schema drift
 (property names, quaternion convention, activation functions) between
 the PLY writer and the JS."""
 
+import pytest
+
+# compile-heavy / parity tier — excluded from the <2 min
+# CI smoke job (ci.yml smoke tier, VERDICT r4 weak #3)
+pytestmark = pytest.mark.heavy
+
 import re
 
 import dataclasses
