@@ -41,9 +41,28 @@ class SDFFitConfig:
     sigma_sil: float = 3e-4
     max_deform: float = 0.45     # fraction of a grid cell
     method: str = "binned"
+    # "flexicubes" = the reference's extraction (21 learnable per-cube
+    # weights, vertex deform, L_dev floater regularizer —
+    # flexicubes_trainer.py:32-56,149-156); "tets" = marching tets
+    engine: str = "flexicubes"
+    lambda_dev: float = 0.5          # remove_floaters_weight
+    lambda_weights: float = 0.1      # cube_stabilizer_weight
 
 
 def init_params(cfg: SDFFitConfig, init_radius: float = 0.5):
+    if cfg.engine == "flexicubes":
+        from ..ops import flexicubes as FC
+        verts = FC.grid_verts(cfg.resolution)
+        sdf = init_radius - np.linalg.norm(verts, axis=-1)
+        params = {
+            "sdf": jnp.asarray(sdf, jnp.float32),
+            "deform": jnp.zeros((verts.shape[0], 3), jnp.float32),
+            # [:12]=beta, [12:20]=alpha, [20]=gamma, zero-init
+            # (flexicubes_trainer.py:54)
+            "weights": jnp.zeros((cfg.resolution ** 3, 21),
+                                 jnp.float32),
+        }
+        return params, jnp.asarray(verts), None
     verts, tets = tetra.grid_tets(cfg.resolution)
     sdf = init_radius - np.linalg.norm(verts, axis=-1)
     return {
@@ -88,16 +107,37 @@ def fit(cameras: Camera, ref_masks, ref_depths=None, ref_normals=None,
     if ref_normals is not None:
         ref_normals = jnp.asarray(ref_normals, jnp.float32)
     params, grid_verts, tets_arr = init_params(cfg)
-    edges = jnp.asarray(_edges_of_tets(np.asarray(tets_arr)))
-    cell = 2.0 / (cfg.resolution - 1)
+    fc_mode = cfg.engine == "flexicubes"
+    if fc_mode:
+        from ..ops import flexicubes as FC
+        # grid-edge list for the sign regularizer (axis-aligned edges)
+        rv = cfg.resolution + 1
+        idx = np.arange(rv ** 3).reshape(rv, rv, rv)
+        ge = np.concatenate([
+            np.stack([idx[:-1].ravel(), idx[1:].ravel()], 1),
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:, :, :-1].ravel(), idx[:, :, 1:].ravel()],
+                     1)])
+        edges = jnp.asarray(ge)
+        cell = 2.0 / cfg.resolution
+    else:
+        edges = jnp.asarray(_edges_of_tets(np.asarray(tets_arr)))
+        cell = 2.0 / (cfg.resolution - 1)
     nviews = ref_masks.shape[0]
     height, width = cameras.height, cameras.width
 
-    def geometry(params):
+    def geometry(params, training=True):
         deform = jnp.tanh(params["deform"]) * (cfg.max_deform * cell)
         v = grid_verts + deform
-        tris, valid = tetra.marching_tets_diff(v, params["sdf"], tets_arr)
-        return tris, valid
+        if fc_mode:
+            vd, vd_valid, faces, face_valid, l_dev = FC.flexicubes(
+                params["sdf"], v, cfg.resolution,
+                weights=params["weights"], training=training)
+            tris = vd[faces]
+            return tris, face_valid, l_dev
+        tris, valid = tetra.marching_tets_diff(v, params["sdf"],
+                                               tets_arr)
+        return tris, valid, jnp.zeros(())
 
     def render_view(tris, valid, view_idx):
         flat_v = tris.reshape(-1, 3)
@@ -123,7 +163,7 @@ def fit(cameras: Camera, ref_masks, ref_depths=None, ref_normals=None,
                 "normal": normal}
 
     def loss_fn(params, view_idx):
-        tris, valid = geometry(params)
+        tris, valid, l_dev = geometry(params)
         loss = 0.0
         for b in range(cfg.batch_size):
             i = view_idx[b]
@@ -145,6 +185,12 @@ def fit(cameras: Camera, ref_masks, ref_depths=None, ref_normals=None,
         loss = loss + cfg.lambda_sign * sign_consistency_loss(
             params["sdf"], edges)
         loss = loss + cfg.lambda_deform * (params["deform"] ** 2).mean()
+        if fc_mode:
+            # L_dev floater regularizer + cube-weight stabilizer
+            # (flexicubes_trainer.py:153-155)
+            loss = loss + cfg.lambda_dev * l_dev
+            loss = loss + cfg.lambda_weights * jnp.abs(
+                params["weights"][:, :20]).mean()
         return loss
 
     opt = optax.adam(cfg.lr)
@@ -164,8 +210,9 @@ def fit(cameras: Camera, ref_masks, ref_depths=None, ref_normals=None,
         if progress is not None and it % 50 == 0:
             progress(it, {"loss": float(loss)})
 
-    # extract final mesh (host weld)
-    tris, valid = geometry(params)
+    # extract final mesh (host weld; flexicubes eval mode splits each
+    # quad along the higher-gamma diagonal instead of the center fan)
+    tris, valid, _ = geometry(params, training=False)
     tris = np.asarray(tris)
     valid = np.asarray(valid)
     soup = tris[valid]

@@ -94,7 +94,10 @@ class InstantMeshPipeline:
 
     def extract_mesh(self, planes, resolution: int | None = None,
                      max_tris: int | None = None,
-                     with_color: bool = True, chunk: int = 262144):
+                     with_color: bool = True, chunk: int = 1 << 20):
+        # chunk default covers a 97³ lattice in ONE dispatch: the
+        # lax.map chunk loop measured 23× slower than a single call
+        # (4.76 s vs 0.21 s for 884k points at 262144-chunking)
         """SDF+deformation grid → marching-tets mesh (+ vertex colors).
         Counterpart of lrm_mesh.py:340 extract_mesh."""
         c = self.cfg
@@ -130,15 +133,19 @@ class InstantMeshPipeline:
                 v_def, sdf, res, max_tris=cap)
             v_dev, f_dev, nv, nf, v_ovf = tetra.weld_device(
                 soup, count, max_verts=cap)
-            if not (bool(overflow) or bool(v_ovf)):
+            done = not (bool(overflow) or bool(v_ovf))
+            if done or attempt == 3:
+                # memoize even a clipped final capacity: warm repeats
+                # must not re-climb the doubling ladder (each rung is a
+                # full sweep+weld, ~2 s at 96³)
                 if not hasattr(self, "_cap_memo"):
                     self._cap_memo = {}
                 self._cap_memo[res] = cap
-                break
-            if attempt == 3:
-                import warnings
-                warnings.warn("marching tets overflow in InstantMesh "
-                              f"extract_mesh (capacity {cap})")
+                if not done:
+                    import warnings
+                    warnings.warn(
+                        "marching tets overflow in InstantMesh "
+                        f"extract_mesh (capacity {cap}, clipped)")
                 break
             cap *= 2
         cols = None

@@ -248,24 +248,33 @@ class MVDream_Model:
 
     @classmethod
     def INPUT_TYPES(cls):
+        # widget ORDER must match the reference (nodes.py:1719-1734):
+        # workflow JSONs carry positional widgets_values
         return {"required": {
             "mvdream_pipe": ("DIFFUSERS_PIPE",),
             "reference_image": ("IMAGE",),
             "reference_mask": ("MASK",),
-            "prompt": ("STRING", {"default": ""}),
-            "seed": ("INT", {"default": 42}),
-            "mv_guidance_scale": ("FLOAT", {"default": 7.0}),
-            "num_inference_steps": ("INT", {"default": 30}),
+            "prompt": ("STRING", {"default": "", "multiline": True}),
+            "prompt_neg": ("STRING", {
+                "default": "ugly, blurry, pixelated obscure, unnatural "
+                "colors, poor lighting, dull, unclear, cropped, lowres, "
+                "low quality, artifacts, duplicate", "multiline": True}),
+            "seed": ("INT", {"default": 0, "min": 0,
+                             "max": 0xffffffffffffffff}),
+            "mv_guidance_scale": ("FLOAT", {"default": 5.0,
+                                            "min": 0.0, "step": 0.01}),
+            "num_inference_steps": ("INT", {"default": 30, "min": 1}),
             "elevation": ("FLOAT", {"default": 0.0}),
         }}
 
-    RETURN_TYPES = ("IMAGE",)
-    RETURN_NAMES = ("multiview_images",)
+    RETURN_TYPES = ("IMAGE", "ORBIT_CAMPOSES")
+    RETURN_NAMES = ("multiview_images", "orbit_camposes")
     FUNCTION = "run_model"
     CATEGORY = "Comfy3D/Algorithm"
 
     def run_model(self, mvdream_pipe, reference_image, reference_mask,
-                  prompt="", seed=42, mv_guidance_scale=7.0,
+                  prompt="", prompt_neg="", seed=42,
+                  mv_guidance_scale=7.0,
                   num_inference_steps=30, elevation=0.0):
         # ImageDream checkpoints condition on the reference image (IP
         # tokens + pinned extra view); text-only MVDream ignores it
@@ -283,7 +292,10 @@ class MVDream_Model:
                            num_inference_steps=num_inference_steps,
                            guidance_scale=mv_guidance_scale, seed=seed,
                            elevation=elevation)
-        return (np.asarray(out),)
+        from ..core.camera import ORBITPOSE_PRESETS
+        camposes = [[4.0, e, a, 0.0, 0.0, 0.0]
+                    for e, a in ORBITPOSE_PRESETS["MVDream(4)"]]
+        return (np.asarray(out), camposes[:np.asarray(out).shape[0]])
 
 
 @register

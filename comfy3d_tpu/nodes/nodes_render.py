@@ -35,9 +35,12 @@ class Mesh_Orbit_Renderer:
             "render_background_color_b": ("FLOAT", {"default": 1.0}),
         }}
 
-    RETURN_TYPES = ("IMAGE", "MASK", "IMAGE", "IMAGE")
+    # reference order (nodes.py:1033-1046): images, masks, depths,
+    # normals, viewcos
+    RETURN_TYPES = ("IMAGE", "MASK", "IMAGE", "IMAGE", "IMAGE")
     RETURN_NAMES = ("rendered_mesh_images", "rendered_mesh_masks",
-                    "rendered_mesh_normals", "rendered_mesh_depths")
+                    "all_rendered_depths", "all_rendered_normals",
+                    "all_rendered_viewcos")
     FUNCTION = "render_mesh"
     CATEGORY = "Comfy3D/Algorithm"
 
@@ -76,8 +79,11 @@ class Mesh_Orbit_Renderer:
         depth = np.asarray(out["depth"])
         depth_img = np.repeat(depth[..., None], 3, -1)
         depth_img = depth_img / max(depth_img.max(), 1e-6)
+        viewcos = np.asarray(out["viewcos"])
+        if viewcos.ndim == 3:
+            viewcos = np.repeat(viewcos[..., None], 3, -1)
         return (np.asarray(out["image"]), np.asarray(out["alpha"]),
-                normals, depth_img)
+                depth_img, normals, viewcos)
 
 
 @register
@@ -97,8 +103,10 @@ class Gaussian_Splatting_Orbit_Renderer:
             "render_background_color_b": ("FLOAT", {"default": 1.0}),
         }}
 
-    RETURN_TYPES = ("IMAGE", "MASK")
-    RETURN_NAMES = ("rendered_gs_images", "rendered_gs_masks")
+    # reference (nodes.py:1116-1125) also returns per-view depths
+    RETURN_TYPES = ("IMAGE", "MASK", "IMAGE")
+    RETURN_NAMES = ("rendered_gs_images", "rendered_gs_masks",
+                    "rendered_gs_depths")
     FUNCTION = "render_gs"
     CATEGORY = "Comfy3D/Algorithm"
 
@@ -115,7 +123,12 @@ class Gaussian_Splatting_Orbit_Renderer:
             background=(render_background_color_r,
                         render_background_color_g,
                         render_background_color_b))
-        return (np.asarray(out["image"]), np.asarray(out["alpha"]))
+        depth = np.asarray(out["depth"])
+        if depth.ndim == 3:
+            depth = np.repeat(depth[..., None], 3, -1)
+        depth = depth / max(float(depth.max()), 1e-6)
+        return (np.asarray(out["image"]), np.asarray(out["alpha"]),
+                depth)
 
 
 @register
@@ -223,15 +236,27 @@ class Instant_NGP:
 
     @classmethod
     def INPUT_TYPES(cls):
+        # names/order mirror the reference (nodes.py:2688-2700) —
+        # workflow links address inputs by name, widgets by position
         return {"required": {
-            "reference_images": ("IMAGE",),
-            "reference_masks": ("MASK",),
+            "reference_image": ("IMAGE",),
+            "reference_mask": ("MASK",),
             "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
             "reference_orbit_camera_fovy": ("FLOAT", {"default": 49.1}),
             "training_iterations": ("INT", {"default": 512, "min": 1}),
-            "batch_size": ("INT", {"default": 4096, "min": 1}),
-            "marching_cube_grid_resolution": ("INT", {"default": 128}),
-            "marching_cube_threshold": ("FLOAT", {"default": 10.0}),
+            "training_resolution": ("INT", {"default": 128,
+                                            "min": 16}),
+            "marching_cude_grids_resolution": ("INT", {"default": 256,
+                                                       "min": 1}),
+            "marching_cude_grids_batch_size": ("INT", {"default": 128,
+                                                       "min": 1}),
+            "marching_cude_threshold": ("FLOAT", {"default": 10.0,
+                                                  "min": 0.0}),
+            "texture_resolution": ("INT", {"default": 1024,
+                                           "min": 128}),
+            "background_color": ("FLOAT", {"default": 1.0, "min": 0.0,
+                                           "max": 1.0}),
+            "force_cuda_rast": ("BOOLEAN", {"default": False}),
         }}
 
     RETURN_TYPES = ("MESH",)
@@ -239,17 +264,23 @@ class Instant_NGP:
     FUNCTION = "run_instant_ngp"
     CATEGORY = "Comfy3D/Algorithm"
 
-    def run_instant_ngp(self, reference_images, reference_masks,
+    def run_instant_ngp(self, reference_image, reference_mask,
                         reference_orbit_camera_poses,
                         reference_orbit_camera_fovy,
-                        training_iterations=512, batch_size=4096,
-                        marching_cube_grid_resolution=128,
-                        marching_cube_threshold=10.0):
+                        training_iterations=512,
+                        training_resolution=128,
+                        marching_cude_grids_resolution=256,
+                        marching_cude_grids_batch_size=128,
+                        marching_cude_threshold=10.0,
+                        texture_resolution=1024, background_color=1.0,
+                        force_cuda_rast=False, batch_size=4096, **_):
         from ..algorithms import ngp as ngp_mod
         from ..ops import tetra
 
-        imgs = np.asarray(reference_images, np.float32)
-        masks = np.asarray(reference_masks, np.float32)
+        marching_cube_grid_resolution = marching_cude_grids_resolution
+        marching_cube_threshold = marching_cude_threshold
+        imgs = np.asarray(reference_image, np.float32)
+        masks = np.asarray(reference_mask, np.float32)
         cams = _cams_from_poses(reference_orbit_camera_poses,
                                 reference_orbit_camera_fovy,
                                 imgs.shape[2], imgs.shape[1])
@@ -261,6 +292,17 @@ class Instant_NGP:
         mesh = tetra.extract_isosurface(
             np.asarray(grid), iso=marching_cube_threshold,
             bounds=(-cfg.bound, cfg.bound))
+        if mesh.num_vertices == 0:
+            # short fits / low-density scenes can sit entirely under
+            # the production threshold — retry at the density field's
+            # 98th percentile rather than returning nothing
+            adaptive = float(np.quantile(np.asarray(grid), 0.98))
+            print(f"[{self.__class__.__name__}] empty surface at "
+                  f"threshold {marching_cube_threshold}; retrying at "
+                  f"98th-percentile density {adaptive:.4f}")
+            mesh = tetra.extract_isosurface(
+                np.asarray(grid), iso=adaptive,
+                bounds=(-cfg.bound, cfg.bound))
         if mesh.num_vertices == 0:
             return error_none(self.__class__.__name__,
                               "empty surface at threshold "
@@ -281,22 +323,34 @@ class FlexiCubes_MVS:
 
     @classmethod
     def INPUT_TYPES(cls):
+        # names/order mirror the reference (nodes.py:2752-2774) so the
+        # FlexiCubes example workflow's links + positional widgets bind
         return {
             "required": {
-                "reference_depths": ("IMAGE",),
+                "reference_depth_maps": ("IMAGE",),
                 "reference_masks": ("MASK",),
                 "reference_orbit_camera_poses": ("ORBIT_CAMPOSES",),
                 "reference_orbit_camera_fovy": ("FLOAT",
                                                 {"default": 49.1}),
-                "training_iterations": ("INT", {"default": 300}),
-                "batch_size": ("INT", {"default": 2}),
-                "voxel_grids_resolution": ("INT", {"default": 64}),
-                "depth_loss_weight": ("FLOAT", {"default": 10.0}),
-                "normal_loss_weight": ("FLOAT", {"default": 0.2}),
-                "sdf_regularizer_weight": ("FLOAT", {"default": 0.1}),
+                "training_iterations": ("INT", {"default": 512,
+                                                "min": 1}),
+                "batch_size": ("INT", {"default": 4, "min": 1}),
+                "learning_rate": ("FLOAT", {"default": 0.01,
+                                            "min": 0.001}),
+                "voxel_grids_resolution": ("INT", {"default": 128,
+                                                   "min": 1}),
+                "depth_min_distance": ("FLOAT", {"default": 0.5}),
+                "depth_max_distance": ("FLOAT", {"default": 5.5}),
+                "mask_loss_weight": ("FLOAT", {"default": 1.0}),
+                "depth_loss_weight": ("FLOAT", {"default": 100.0}),
+                "normal_loss_weight": ("FLOAT", {"default": 1.0}),
+                "sdf_regularizer_weight": ("FLOAT", {"default": 0.2}),
+                "remove_floaters_weight": ("FLOAT", {"default": 0.5}),
+                "cube_stabilizer_weight": ("FLOAT", {"default": 0.1}),
+                "force_cuda_rast": ("BOOLEAN", {"default": False}),
             },
             "optional": {
-                "reference_normals": ("IMAGE",),
+                "reference_normal_maps": ("IMAGE",),
             },
         }
 
@@ -305,29 +359,45 @@ class FlexiCubes_MVS:
     FUNCTION = "run_flexicubes"
     CATEGORY = "Comfy3D/Algorithm"
 
-    def run_flexicubes(self, reference_depths, reference_masks,
+    def run_flexicubes(self, reference_depth_maps, reference_masks,
                        reference_orbit_camera_poses,
                        reference_orbit_camera_fovy,
-                       training_iterations=300, batch_size=2,
-                       voxel_grids_resolution=64,
-                       depth_loss_weight=10.0, normal_loss_weight=0.2,
-                       sdf_regularizer_weight=0.1,
-                       reference_normals=None):
+                       training_iterations=512, batch_size=4,
+                       learning_rate=0.01,
+                       voxel_grids_resolution=128,
+                       depth_min_distance=0.5, depth_max_distance=5.5,
+                       mask_loss_weight=1.0, depth_loss_weight=100.0,
+                       normal_loss_weight=1.0,
+                       sdf_regularizer_weight=0.2,
+                       remove_floaters_weight=0.5,
+                       cube_stabilizer_weight=0.1,
+                       force_cuda_rast=False,
+                       reference_normal_maps=None, **_):
         from ..algorithms import sdf_fit
 
-        depths = np.asarray(reference_depths, np.float32)
+        reference_normals = reference_normal_maps
+        depths = np.asarray(reference_depth_maps, np.float32)
         if depths.ndim == 4:
             depths = depths[..., 0]
+        # reference depth maps encode view distance in
+        # [depth_min, depth_max] over [0,1] (flexicubes_trainer.py)
+        depths = depth_min_distance + depths \
+            * (depth_max_distance - depth_min_distance)
         masks = np.asarray(reference_masks, np.float32)
+        depths = depths * (masks > 0.5)
         cams = _cams_from_poses(reference_orbit_camera_poses,
                                 reference_orbit_camera_fovy,
                                 masks.shape[2], masks.shape[1])
         cfg = sdf_fit.SDFFitConfig(
             resolution=voxel_grids_resolution,
             iterations=training_iterations, batch_size=batch_size,
+            lr=learning_rate, engine="flexicubes",
+            lambda_mask=mask_loss_weight,
             lambda_depth=depth_loss_weight,
             lambda_normal=normal_loss_weight,
-            lambda_sign=sdf_regularizer_weight)
+            lambda_sign=sdf_regularizer_weight,
+            lambda_dev=remove_floaters_weight,
+            lambda_weights=cube_stabilizer_weight)
         mesh = sdf_fit.fit(
             cams, masks, ref_depths=depths,
             ref_normals=(np.asarray(reference_normals, np.float32)

@@ -554,3 +554,62 @@ class ImageUpscaleWithModel:
         img = _img(image)
         return (np.stack([np.asarray(upscale_model(im))
                           for im in img]),)
+
+
+class LoadImagesFromDirInspire:
+    """Inspire-pack `LoadImagesFromDir //Inspire`: load every image in
+    a directory (sorted), with start_index/cap widgets — the FlexiCubes
+    depth/normal/mask feeder in the reference workflows."""
+
+    CATEGORY = "InspirePack/image"
+    RETURN_TYPES = ("IMAGE", "MASK", "INT")
+    RETURN_NAMES = ("images", "masks", "count")
+    FUNCTION = "load_images"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "directory": ("STRING", {"default": ""}),
+            "image_load_cap": ("INT", {"default": 0, "min": 0}),
+            "start_index": ("INT", {"default": 0, "min": 0}),
+        }}
+
+    def load_images(self, directory="", image_load_cap=0,
+                    start_index=0, **_):
+        import cv2
+        names = sorted(
+            f for f in (os.listdir(directory)
+                        if os.path.isdir(directory) else [])
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp",
+                                   ".bmp")))
+        names = names[int(start_index):]
+        if image_load_cap:
+            names = names[:int(image_load_cap)]
+        imgs, masks = [], []
+        for f in names:
+            raw = cv2.imread(os.path.join(directory, f),
+                             cv2.IMREAD_UNCHANGED)
+            if raw is None:
+                continue
+            if raw.ndim == 2:
+                raw = np.repeat(raw[..., None], 3, -1)
+            if raw.shape[-1] == 4:
+                rgb = cv2.cvtColor(raw, cv2.COLOR_BGRA2RGB)
+                alpha = raw[..., 3].astype(np.float32) / 255.0
+            else:
+                rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+                alpha = np.ones(raw.shape[:2], np.float32)
+            imgs.append(rgb.astype(np.float32) / 255.0)
+            masks.append(alpha)
+        if not imgs:
+            raise ValueError(
+                f"LoadImagesFromDir: no images under {directory!r}")
+        return (np.stack(imgs), np.stack(masks), len(imgs))
+
+
+# the Inspire pack registers with a display-name suffix the plain
+# class-name decorator can't express
+NODE_CLASS_MAPPINGS["LoadImagesFromDir //Inspire"] = \
+    LoadImagesFromDirInspire
+NODE_DISPLAY_NAME_MAPPINGS["LoadImagesFromDir //Inspire"] = \
+    "Load Images From Dir (Inspire)"

@@ -66,8 +66,25 @@ def query_chunked(query_fn, ctx, pts, chunk: int = 1 << 20):
     if n_chunks == 1:
         out = query_fn(ctx, rows[0])[None]
     else:
-        out = jax.lax.map(lambda r: query_fn(ctx, r), rows)
+        # a fresh `lambda r: query_fn(ctx, r)` per call defeats jax's
+        # trace cache — lax.map would retrace + recompile EVERY call
+        # (measured 4.8 s/call vs 0.25 s steady-state at 4×262144).
+        # Cache one jitted mapper per query_fn; jit then caches per
+        # (chunk, n_chunks) shape.
+        out = _mapped(query_fn)(ctx, rows)
     return out.reshape((n_chunks * chunk,) + out.shape[2:])[:n]
+
+
+_MAP_CACHE = {}
+
+
+def _mapped(query_fn):
+    fn = _MAP_CACHE.get(query_fn)
+    if fn is None:
+        fn = jax.jit(lambda ctx, rows: jax.lax.map(
+            lambda r: query_fn(ctx, r), rows))
+        _MAP_CACHE[query_fn] = fn
+    return fn
 
 
 def _upsample2_corner(g):

@@ -134,7 +134,7 @@ class TestSDFFit:
         cams = orbit_cams(n=6, size=40)
         ref = mesh_render.render_mesh(jnp.asarray(gt.v), jnp.asarray(gt.f),
                                       cams, method="bruteforce")
-        cfg = sdf_fit.SDFFitConfig(resolution=12, iterations=60,
+        cfg = sdf_fit.SDFFitConfig(resolution=12, iterations=140,
                                    batch_size=2, lambda_depth=5.0,
                                    method="bruteforce")
         mesh = sdf_fit.fit(cams, ref["alpha"], ref_depths=ref["depth"],

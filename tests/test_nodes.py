@@ -88,7 +88,7 @@ class TestIndividualNodes:
         mesh = Mesh(v=v, f=f).auto_normal()
         node = NODE_CLASS_MAPPINGS["[Comfy3D] Mesh Orbit Renderer"]()
         poses = [[2.0, 0.0, 0.0, 0, 0, 0], [2.0, 30.0, 90.0, 0, 0, 0]]
-        imgs, masks, normals, depths = node.render_mesh(
+        imgs, masks, depths, normals, viewcos = node.render_mesh(
             mesh, 64, poses, 49.1)
         assert imgs.shape == (2, 64, 64, 3)
         assert masks[0, 32, 32] == 1.0
@@ -99,7 +99,7 @@ class TestIndividualNodes:
         splat = GaussianSplat.random(jax.random.PRNGKey(0), 64)
         node = NODE_CLASS_MAPPINGS[
             "[Comfy3D] Gaussian Splatting Orbit Renderer"]()
-        imgs, masks = node.render_gs(
+        imgs, masks, depths_gs = node.render_gs(
             splat, 64, [[2.0, 0.0, 0.0, 0, 0, 0]], 49.1)
         assert imgs.shape == (1, 64, 64, 3)
 

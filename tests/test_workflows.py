@@ -105,9 +105,13 @@ def _tiny_mvdream(views=4, stage2=False):
 def _tiny_wonder3d():
     from comfy3d_tpu.models.wonder3d import (Wonder3DConfig,
                                              Wonder3DPipeline)
+    # 6 views: the reference workflows index views [0..5] out of the
+    # canonical Wonder3D six (fewer views would leave the LGM feed
+    # short after Get_Images_From_Batch_Indexed)
     cfg = Wonder3DConfig(
-        image_size=32, num_views=2,
-        unet=dc.replace(td.tiny_unet_cfg(), mv_views=2, cd_joint=True),
+        image_size=32, num_views=6,
+        unet=dc.replace(td.tiny_unet_cfg(), in_channels=8, mv_views=6,
+                        cd_joint=True),
         vae=td.tiny_vae_cfg())
     return Wonder3DPipeline.init_random(cfg=cfg)
 
@@ -357,6 +361,13 @@ SIZE_OVERRIDES = {
     "image_resolution": 256,
     "num_views": 3,
     "force_cubes_resolution": 16,
+    "voxel_grids_resolution": 12,
+    "marching_cude_grids_resolution": 24,
+    "marching_cude_grids_batch_size": 24,
+    "training_resolution": 32,
+    # a 4-iteration random NGP fit never reaches the production
+    # density-10 isosurface
+    "marching_cude_threshold": 0.2,
     "training_iterations": 4,
     "batch_size": 1,
     "upscale_factor": 1,
@@ -394,6 +405,8 @@ def _build_overrides(wf, tmp_path, extra=None):
                 ov[name] = SIZE_OVERRIDES[name]
             if name in ("mesh_path", "mesh_file_path"):
                 ov[name] = mesh_path
+            if name == "gs_file_path":
+                ov[name] = str(tmp_path / "in" / "asset_gs.ply")
             if name == "directory":
                 ov[name] = str(tmp_path / "in" / "mv")
         if n["type"] == "PrimitiveString":
@@ -432,6 +445,15 @@ def _prepare_inputs(wf, tmp_path):
                   [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
                   [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
     Mesh(v=v, f=f).auto_normal().write(str(in_dir / "asset.obj"))
+    # a small gaussian splat for Load_3DGS-driven workflows
+    from comfy3d_tpu.core.gaussian import GaussianSplat
+    from comfy3d_tpu.core.io.ply import save_gs_ply
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(256, 3).astype(np.float32) - 0.5)
+    save_gs_ply(str(in_dir / "asset_gs.ply"),
+                GaussianSplat.from_points(
+                    pts, colors=rng.rand(256, 3).astype(np.float32),
+                    initial_scale=0.05))
 
 
 # fast set runs in the default suite; the rest only with
@@ -443,6 +465,9 @@ WORKFLOWS_FAST = [
     "Hunyuan3D_V1.json",
     "Zero123Plus_to_InstantMesh.json",
     "PartCrafter/PartCrafter.json",
+    # the BASELINE.md-named end-to-end chain (README.md:215): MVDream
+    # views → LGM gaussians → 3DGS optimization → NeRF+MC mesh convert
+    "MVDream_to_Large_Multiview_Gaussian_Model_to_3DGS and_3DMesh.json",
 ]
 WORKFLOWS_HEAVY = [
     "TripoSG_Scribble_Model.json",
@@ -453,6 +478,12 @@ WORKFLOWS_HEAVY = [
     "Hunyuan3D_V2/Hunyuan3D_V2.json",
     "MV-Adapter/MV-Adapter-ig2mv.json",
     "Era3D_to_InstantMesh.json",
+    "Wonder3D_to_Large_Multiview_Gaussian_Model_to_3DGS and_3DMesh"
+    ".json",
+    "Multi-View-Images_to_Instant-NGP_to_DiffRast_to_3DMesh.json",
+    "[FlexiCubes] Multi-View Depth plus Optional Normal maps to 3D "
+    "Mesh.json",
+    "Render_Mesh_and_3DGS_Example.json",
 ]
 _HEAVY = os.environ.get("COMFY3D_HEAVY_TESTS", "0") == "1"
 WORKFLOWS = WORKFLOWS_FAST + (WORKFLOWS_HEAVY if _HEAVY else [])
