@@ -127,17 +127,21 @@ class InstantMeshPipeline:
         # the extractor's inside-positive contract directly. The sparse
         # deformed-grid sweep compacts active cells on device — one
         # dispatch, count-sized D2H (ops/tetra.py).
-        cap = max_tris
-        for attempt in range(4):
+        # hard capacity roof: the 96³ tet temporaries at ~4M tris spill
+        # HBM (fresh multi-minute compile measured when a clipped memo
+        # re-doubled past it); production assets stay ≲2M
+        roof = 2_097_152
+        cap = min(max_tris, roof)
+        for attempt in range(5):
             soup, count, overflow = tetra.marching_tets_deformed(
                 v_def, sdf, res, max_tris=cap)
             v_dev, f_dev, nv, nf, v_ovf = tetra.weld_device(
                 soup, count, max_verts=cap)
             done = not (bool(overflow) or bool(v_ovf))
-            if done or attempt == 3:
+            if done or cap >= roof:
                 # memoize even a clipped final capacity: warm repeats
                 # must not re-climb the doubling ladder (each rung is a
-                # full sweep+weld, ~2 s at 96³)
+                # full sweep+weld)
                 if not hasattr(self, "_cap_memo"):
                     self._cap_memo = {}
                 self._cap_memo[res] = cap
@@ -147,7 +151,7 @@ class InstantMeshPipeline:
                         "marching tets overflow in InstantMesh "
                         f"extract_mesh (capacity {cap}, clipped)")
                 break
-            cap *= 2
+            cap = min(cap * 2, roof)
         cols = None
         if with_color:
             cols = volume.query_chunked(self._rgb_query, ctx, v_dev,
