@@ -19,6 +19,29 @@ ALLOWED_EXTENSIONS = (".obj", ".mtl", ".ply", ".glb", ".gltf", ".splat",
                       ".png", ".jpg", ".jpeg")
 
 
+def load_system_conf(path: str | None = None) -> dict:
+    """The reference's `Configs/system.conf` role (pyhocon parsed at
+    `__init__.py:35-48`: web-client IP allowlist + HF token) as plain
+    JSON: looked up at $COMFY3D_SYSTEM_CONF, else ./Configs/system.json.
+
+    Recognized keys: `server.allowed_client_ips`, `server.allowed_roots`,
+    `server.allow_all_ips`, `server.host`, `server.port`,
+    `huggingface.token` (exported to HF_TOKEN for the checkpoint
+    downloaders' resume paths)."""
+    import json
+    path = path or os.environ.get(
+        "COMFY3D_SYSTEM_CONF",
+        os.path.join(os.getcwd(), "Configs", "system.json"))
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        conf = json.load(f)
+    token = (conf.get("huggingface") or {}).get("token")
+    if token:
+        os.environ.setdefault("HF_TOKEN", token)
+    return conf
+
+
 def make_app(allowed_roots: Iterable[str] = ("/",),
              allowed_client_ips: Iterable[str] = ("127.0.0.1", "::1"),
              allow_all_ips: bool = False) -> web.Application:
@@ -64,6 +87,17 @@ def make_app(allowed_roots: Iterable[str] = ("/",),
 
 def serve(host: str = "127.0.0.1", port: int = 8189,
           allowed_roots: Iterable[str] = ("/",), **kw) -> None:
-    """Blocking entry point: `python -m comfy3d_tpu.server`."""
+    """Blocking entry point: `python -m comfy3d_tpu.server`.
+    `Configs/system.json` (or $COMFY3D_SYSTEM_CONF) overrides defaults
+    the reference reads from system.conf."""
+    srv = load_system_conf().get("server") or {}
+    host = srv.get("host", host)
+    port = int(srv.get("port", port))
+    if "allowed_client_ips" in srv and "allowed_client_ips" not in kw:
+        kw["allowed_client_ips"] = tuple(srv["allowed_client_ips"])
+    if "allow_all_ips" in srv and "allow_all_ips" not in kw:
+        kw["allow_all_ips"] = bool(srv["allow_all_ips"])
+    if "allowed_roots" in srv:
+        allowed_roots = tuple(srv["allowed_roots"])
     web.run_app(make_app(allowed_roots=allowed_roots, **kw),
                 host=host, port=port)

@@ -65,3 +65,27 @@ class TestServerRoutes:
         status, _ = fetch(app, "/viewfile",
                           {"filepath": str(tmp_path / "x.glb")})
         assert status == 404
+
+
+def test_system_conf_role(tmp_path, monkeypatch):
+    """Configs/system.conf counterpart (reference __init__.py:35-48):
+    JSON config supplies the client-IP allowlist + HF token."""
+    import json
+
+    from comfy3d_tpu.server import load_system_conf
+
+    conf = {"server": {"allowed_client_ips": ["10.0.0.5"],
+                       "port": 9999},
+            "huggingface": {"token": "hf_dummy"}}
+    p = tmp_path / "system.json"
+    p.write_text(json.dumps(conf))
+    monkeypatch.setenv("COMFY3D_SYSTEM_CONF", str(p))
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    got = load_system_conf()
+    assert got["server"]["allowed_client_ips"] == ["10.0.0.5"]
+    assert got["server"]["port"] == 9999
+    import os
+    assert os.environ["HF_TOKEN"] == "hf_dummy"
+    # absent file → empty config, no crash
+    monkeypatch.setenv("COMFY3D_SYSTEM_CONF", str(tmp_path / "nope"))
+    assert load_system_conf() == {}
