@@ -191,15 +191,23 @@ class CharacterGenLRMPipeline:
 
     def default_cams(self, n_views: int = 4,
                      radius: float = 1.5) -> np.ndarray:
-        """[V, 16] flattened c2w rows for the canonical pose set
-        (Stage_3D material/meta.json locations — the CharacterGen(4)
-        orbit: elevation 0, azimuths [-90, 180, 90, 0])."""
-        from ...core.camera import orbit_c2w
-        azims = [-90.0, 180.0, 90.0, 0.0]
-        rows = []
-        for i in range(n_views):
-            c2w = np.asarray(orbit_c2w(0.0, azims[i % 4], radius))
-            rows.append(c2w.reshape(-1))
+        """[V, 16] flattened c2w rows — the EXACT canonical pose table
+        the reference conditions on (Stage_3D/material/meta.json
+        `locations[*].transform_matrix`, read at
+        character_inference.py:259-261): axis-aligned cameras on the
+        ±y/±x axes at radius 1.5, y-up-as-third-row convention."""
+        s = radius / 1.5
+        table = np.array([
+            [[1, 0, 0, 0], [0, 0, 1, 1.5 * s], [0, 1, 0, 0],
+             [0, 0, 0, 1]],
+            [[-1, 0, 0, 0], [0, 0, -1, -1.5 * s], [0, 1, 0, 0],
+             [0, 0, 0, 1]],
+            [[0, 0, 1, 1.5 * s], [-1, 0, 0, 0], [0, 1, 0, 0],
+             [0, 0, 0, 1]],
+            [[0, 0, -1, -1.5 * s], [1, 0, 0, 0], [0, 1, 0, 0],
+             [0, 0, 0, 1]],
+        ], np.float32)
+        rows = [table[i % 4].reshape(-1) for i in range(n_views)]
         return np.stack(rows).astype(np.float32)
 
     def inference(self, mv_images, mesh_size: int = 256,

@@ -260,14 +260,32 @@ class SVRMPipeline:
         return cls(params, cfg)
 
     def default_cams(self, n_views: int) -> np.ndarray:
-        """[V, 20] camera condition rows (azimuth orbit, svrm
-        convention: flattened extrinsics + intrinsics summary)."""
-        cams = np.zeros((n_views, self.cfg.cam_cond_dim), np.float32)
-        az = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
-        cams[:, 0] = np.sin(az)
-        cams[:, 1] = np.cos(az)
-        cams[:, 2] = 1.5
-        return cams
+        """[V, 20] camera rows = flattened z-up 4×4 c2w (16) +
+        intrinsics [35/32, 35/32, 0.5, 0.5] — exactly the predictor's
+        construction (svrm/predictor.py:70-114; view set :44-45:
+        cond at azimuth 0 then the 60° orbit, elevation 0)."""
+        # predictor list: [cond @0, views @60..300, last view @0]
+        azims = [0, 60, 120, 180, 240, 300, 0]
+        rows = []
+        for i in range(n_views):
+            az = np.radians(azims[i % len(azims)] if n_views > 1
+                            else 0.0)
+            el = 0.0
+            pos = np.array([np.cos(el) * np.cos(az),
+                            np.cos(el) * np.sin(az),
+                            np.sin(el)]) * 1.5
+            fwd = -pos / np.linalg.norm(pos)
+            up = np.array([0.0, 0.0, 1.0])
+            right = np.cross(fwd, up)
+            right /= np.linalg.norm(right)
+            new_up = np.cross(right, fwd)
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.array([right, new_up, -fwd]).T
+            c2w[:3, 3] = pos
+            rows.append(np.concatenate(
+                [c2w.reshape(-1),
+                 np.array([35. / 32, 35. / 32, 0.5, 0.5])]))
+        return np.stack(rows).astype(np.float32)
 
     def views_to_mesh(self, views, cams=None, mesh_size: int = 384,
                       with_color: bool = True, chunk: int = 262144,

@@ -48,7 +48,8 @@ def test_camera_condition(pipe):
 
 
 def test_target_faces(pipe):
-    views = np.random.RandomState(4).rand(2, 28, 28, 3).astype(np.float32)
+    # seed chosen so the random-init tiny sdf field actually crosses 0
+    views = np.random.RandomState(5).rand(2, 28, 28, 3).astype(np.float32)
     mesh = pipe.views_to_mesh(views, mesh_size=24, target_faces=50)
     assert 0 < len(mesh.f) <= 80  # fallback subsample keeps ≈target
     assert mesh.vc.shape == (mesh.num_vertices, 3)
