@@ -247,8 +247,30 @@ class Load_MVAdapter_Texture_Pipeline:
 
     def load(self, upscaler_ckpt_name="", inpaint_ckpt_name="",
              use_mmgp=False, auto_download=True):
-        return ({"upscaler": upscaler_ckpt_name,
-                 "inpainter": inpaint_ckpt_name},)
+        from . import base
+        handle = {"upscaler": upscaler_ckpt_name,
+                  "inpainter": inpaint_ckpt_name}
+        sr_ckpt = os.path.join(base.CKPT_ROOT_PATH, "RealESRGAN",
+                               upscaler_ckpt_name or "")
+        if upscaler_ckpt_name and os.path.exists(sr_ckpt):
+            import jax.numpy as jnp
+            import torch as _torch
+            from ..models import esrgan
+            raw = _torch.load(sr_ckpt, map_location="cpu",
+                              weights_only=True)
+            raw = raw.get("params_ema", raw.get("params", raw))
+            sd = {k: v.float().numpy() for k, v in raw.items()}
+            sr_params = esrgan.convert_rrdb(sd)
+            sr_cfg = esrgan.RRDBConfig()
+
+            def upscale(view):
+                return np.asarray(esrgan.upscale(
+                    sr_params, jnp.asarray(view), sr_cfg))
+
+            handle["upscale_fn"] = upscale
+            print("[Load_MVAdapter_Texture_Pipeline] RealESRGAN view "
+                  "upscaler wired")
+        return (handle,)
 
 
 @register
@@ -322,6 +344,11 @@ class MVAdapter_Texture_Projection:
         views = [grid[r * s:(r + 1) * s, c * s:(c + 1) * s]
                  for r in range(grid.shape[0] // s)
                  for c in range(cols)][:v]
+        up = (texture_pipeline or {}).get("upscale_fn") \
+            if isinstance(texture_pipeline, dict) else None
+        if view_upscale and up is not None:
+            views = [up(vw) for vw in views]
+            s = views[0].shape[0]
         cams = Camera.from_orbit(
             np.asarray(elevs, np.float32), np.asarray(azims, np.float32),
             float(camera_distance) + 0.8, width=s, height=s)
