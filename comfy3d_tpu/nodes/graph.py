@@ -113,6 +113,14 @@ def _run_workflow(workflow: Dict, overrides: Dict,
         kwargs = {}
         for name, section, widget_type, decl in _widget_input_names(cls):
             if name in link_inputs:
+                # "convert widget to input": the widget's placeholder
+                # value STAYS in widgets_values — consume it so later
+                # widgets don't shift one slot left
+                if widget_type is not None and widgets:
+                    widgets.pop(0)
+                    if name in ("seed", "noise_seed") and widgets and \
+                            isinstance(widgets[0], str):
+                        widgets.pop(0)
                 kwargs[name] = link_inputs[name]
                 continue
             if widget_type is not None and widgets:

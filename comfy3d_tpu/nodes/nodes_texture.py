@@ -136,17 +136,32 @@ class Hunyuan3D_21_TexGen:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {
-            "texgen_pipe": ("DIFFUSERS_PIPE",),
-            "mesh": ("MESH",),
-            "image": ("IMAGE",),
-            "create_pbr": ("BOOLEAN", {"default": True}),
-            "use_remesh": ("BOOLEAN", {"default": False}),
-        }}
+        # reference contract (nodes.py:5475-5484): the mesh arrives as
+        # a FILE PATH (linked from Save 3D Mesh's STRING output)
+        return {
+            "required": {
+                "texgen_pipe": ("DIFFUSERS_PIPE",),
+                "mesh_path": ("STRING", {"default": ""}),
+                "image": ("IMAGE",),
+                "create_pbr": ("BOOLEAN", {"default": True}),
+                "use_remesh": ("BOOLEAN", {"default": False}),
+            },
+            "optional": {
+                "mesh": ("MESH",),
+            },
+        }
 
-    def generate(self, texgen_pipe, mesh, image, create_pbr=True,
-                 use_remesh=False):
+    def generate(self, texgen_pipe, mesh_path="", image=None,
+                 create_pbr=True, use_remesh=False, mesh=None):
         from ..models.hunyuan3d import Hunyuan3DPaintPipeline
+
+        if mesh is None:
+            from ..core.mesh import Mesh
+            if not mesh_path or not os.path.exists(mesh_path):
+                return base.error_none(
+                    self.__class__.__name__,
+                    f"mesh file not found: {mesh_path}")
+            mesh = Mesh.load(mesh_path)
 
         if use_remesh:
             # reference hy3dpaint `remesh_mesh`

@@ -203,8 +203,8 @@ class TestHunyuanTexGenRemesh:
         node = Hunyuan3D_21_TexGen()
         img = np.zeros((8, 8, 3), np.float32)
         mesh = Mesh(v=v, f=f)
-        (out_plain,) = node.generate(FakePipe(), mesh, img,
-                                     use_remesh=False)
+        (out_plain,) = node.generate(FakePipe(), image=img,
+                                     mesh=mesh, use_remesh=False)
         plain_faces = calls["faces"]
         # a mesh already under 40k faces passes through ~unchanged;
         # use_remesh must still run the decimate path (observable via
@@ -212,7 +212,8 @@ class TestHunyuanTexGenRemesh:
         big_v, big_f = icosphere_np(subdiv=5)            # 20480 faces
         big = Mesh(v=np.concatenate([big_v, big_v + 3.0]),
                    f=np.concatenate([big_f, big_f + len(big_v)]))
-        (out_re,) = node.generate(FakePipe(), big, img, use_remesh=True)
+        (out_re,) = node.generate(FakePipe(), image=img, mesh=big,
+                                  use_remesh=True)
         assert calls["faces"] <= 40000
         assert plain_faces == 5120
         assert out_re.num_faces != 0

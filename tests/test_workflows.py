@@ -181,6 +181,18 @@ def _tiny_paint():
     return pipe
 
 
+def _tiny_paint_pbr():
+    from comfy3d_tpu.models.hunyuan3d import (Hunyuan3DPaintPipeline,
+                                              PaintConfig)
+    pipe = Hunyuan3DPaintPipeline.init_random(cfg=PaintConfig(
+        render_size=32, texture_size=64,
+        unet=dc.replace(td.tiny_unet_cfg(), in_channels=12, mv_views=6),
+        vae=td.tiny_vae_cfg(), prompt_tokens=3, prompt_dim=16,
+        pbr_settings=("albedo", "mr")))
+    pipe.default_steps = 2
+    return pipe
+
+
 def _tiny_yoso():
     from comfy3d_tpu.models.stablegen import (YosoConfig,
                                               YosoNormalsPipeline)
@@ -274,6 +286,8 @@ def tiny_world(monkeypatch, tmp_path):
           _tiny_hunyuan_shape)
     patch(nodes_texture.Load_Hunyuan3D_V2_TexGen_Pipeline, "load",
           _tiny_paint)
+    patch(nodes_texture.Load_Hunyuan3D_21_TexGen_Pipeline, "load",
+          _tiny_paint_pbr)
     patch(nodes_partcrafter.Load_PartCrafter_Pipeline, "load",
           _tiny_partcrafter)
     patch(nodes_partcrafter.Load_PartCrafter_Scene_Pipeline, "load",
@@ -484,6 +498,8 @@ WORKFLOWS_HEAVY = [
     "[FlexiCubes] Multi-View Depth plus Optional Normal maps to 3D "
     "Mesh.json",
     "Render_Mesh_and_3DGS_Example.json",
+    # the 5th BASELINE.json config: 2.1 shape DiT → mesh → PBR texture
+    "Hunyuan3D_2_1/Hunyuan2.1-Full.json",
 ]
 _HEAVY = os.environ.get("COMFY3D_HEAVY_TESTS", "0") == "1"
 WORKFLOWS = WORKFLOWS_FAST + (WORKFLOWS_HEAVY if _HEAVY else [])
