@@ -323,7 +323,9 @@ class Get_Camposes_From_List_Indexed:
     @classmethod
     def INPUT_TYPES(cls):
         return {"required": {
-            "orbit_camposes": ("ORBIT_CAMPOSES",),
+            # reference nodes.py:993 names this input
+            # `original_orbit_camera_poses`; workflow JSONs link by name
+            "original_orbit_camera_poses": ("ORBIT_CAMPOSES",),
             "indexes": ("STRING", {"default": "0"}),
         }}
 
@@ -332,9 +334,9 @@ class Get_Camposes_From_List_Indexed:
     FUNCTION = "pick"
     CATEGORY = "Comfy3D/Preprocessor"
 
-    def pick(self, orbit_camposes, indexes="0"):
+    def pick(self, original_orbit_camera_poses, indexes="0"):
         idx = [int(t) for t in str(indexes).replace(",", " ").split()]
-        return ([orbit_camposes[i] for i in idx],)
+        return ([original_orbit_camera_poses[i] for i in idx],)
 
 
 @register
