@@ -112,6 +112,63 @@ class MaskToImage:
 
 
 @register(comfy3d=False)
+class ConvertToGrayscale:
+    """ControlAltAI-style channel utility used by the CRM T2I V3
+    LoRA/DoRA example workflows (`CRM_T2I_V3_to_MV_to_Texture_*.json`):
+    rec.601 luma, replicated back to 3 channels."""
+
+    CATEGORY = "image"
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "convert"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"image": ("IMAGE",)}}
+
+    def convert(self, image):
+        img = _img(image)
+        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+        return (np.repeat(luma[..., None], 3, axis=-1),)
+
+
+@register(comfy3d=False)
+class MergeImageChannels:
+    """Compose an RGB image from per-channel sources (each source's
+    first channel), optional mask becomes alpha."""
+
+    CATEGORY = "image"
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("image",)
+    FUNCTION = "merge"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "red": ("IMAGE",),
+            "green": ("IMAGE",),
+            "blue": ("IMAGE",),
+        }, "optional": {"mask": ("MASK",)}}
+
+    def merge(self, red, green, blue, mask=None):
+        chans = [_img(c)[..., 0] for c in (red, green, blue)]
+        n = max(c.shape[0] for c in chans)
+        h = max(c.shape[1] for c in chans)
+        w = max(c.shape[2] for c in chans)
+        out = np.zeros((n, h, w, 3), np.float32)
+        for i, c in enumerate(chans):
+            out[:, :c.shape[1], :c.shape[2], i] = c[:n]
+        if mask is not None:
+            m = np.asarray(mask, np.float32)
+            if m.ndim == 2:
+                m = m[None]
+            alpha = np.ones((n, h, w, 1), np.float32)
+            alpha[:, :m.shape[1], :m.shape[2], 0] = m[:n]
+            out = np.concatenate([out, alpha], axis=-1)
+        return (out,)
+
+
+@register(comfy3d=False)
 class GetImagesFromBatchIndexed:
     """Impact-pack: select images from a batch by index list."""
 

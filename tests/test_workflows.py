@@ -500,7 +500,43 @@ WORKFLOWS_HEAVY = [
     "Render_Mesh_and_3DGS_Example.json",
     # the 5th BASELINE.json config: 2.1 shape DiT → mesh → PBR texture
     "Hunyuan3D_2_1/Hunyuan2.1-Full.json",
+    "Hunyuan3D_2_1/Hunyuan2.1-Shapegen.json",
+    "Hunyuan3D_2_1/Hunyuan2.1-Texgen.json",
+    # CRM MVDiffusion feeding three different reconstructors
+    "CRM/CRM MVDiffusion_to_Craftsman.json",
+    "CRM/CRM MVDiffusion_to_InstantMesh.json",
+    "CRM/CRM MVDiffusion_to_Unique3D.json",
+    "CRM_T2I_V2/CRM_T2I_V2_MVs_Only.json",
+    "CRM_T2I_V2/CRM_T2I_V2_to_MV_to_Texture.json",
+    "CRM_T2I_V3/CRM_T2I_V3_MVs_Only.json",
+    "CRM_T2I_V3/CRM_T2I_V3_to_MV_to_Texture_dora_model_Handgun_Example"
+    ".json",
+    "CRM_T2I_V3/CRM_T2I_V3_to_MV_to_Texture_lora_model_Cup_Example.json",
+    "CharacterGen/CharacterGen_InstantMesh.json",
+    "CharacterGen/CharacterGen_to_Unique3D.json",
+    # the Hunyuan V2 checkpoint-variant grid (Fast/Turbo/Mini/MV)
+    "Hunyuan3D_V2/Hunyuan3D_V2_Fast.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_Turbo.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_MV.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_MV_Fast.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_MV_Turbo.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_Mini.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_Mini_Fast.json",
+    "Hunyuan3D_V2/Hunyuan3D_V2_Mini_Turbo.json",
+    "MV-Adapter/MV-Adapter-Texturing.json",
+    "MV-Adapter/MV-Adapter-tg2mv.json",
+    "PartCrafter/PartCrafter-Scene.json",
+    "Unique3D/0_MV_RGB.json",
+    "Unique3D/2_MV_Normal.json",
+    "Unique3D/3_Mesh_Reconstruction.json",
+    "Unique3D/Unique3D_with_Era3D_All.json",
 ]
+# The remaining 4 of the reference's 52 example workflows
+# (Unique3D/1_MV_RGB_Upscale*.json, Unique3D/Unique3D_All_Stages.json,
+# Using_Stack_Orbit_Camera_Poses_to_conditioning_StableZero123.json)
+# depend on ComfyUI-core SD machinery (CheckpointLoaderSimple, KSampler,
+# IPAdapter, VHS_VideoCombine) that ships with the host app, not with
+# the reference pack — out of scope for the standalone executor.
 _HEAVY = os.environ.get("COMFY3D_HEAVY_TESTS", "0") == "1"
 WORKFLOWS = WORKFLOWS_FAST + (WORKFLOWS_HEAVY if _HEAVY else [])
 
